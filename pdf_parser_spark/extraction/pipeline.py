@@ -1,0 +1,271 @@
+"""The extraction pipeline — idiomatic-Spark restatement of the reference's
+extract_pdf_fields + tasks.py persistence (/root/reference/extractor/).
+
+Shape of the job (one scan, two shuffles on the hot path):
+
+  documents(doc_id, vendor, file_hash, spans)
+    → admission (window first-wins on file_hash; H3/J4)            [shuffle 1]
+    → explode(spans) EARLY — a giant document becomes many page rows,
+      so skew is bounded by page size, not document size (SURVEY.md §7)
+    → groupBy(doc_id, page): ordered page assembly                 [shuffle 2]
+    → extract_page_udf (the only Python crossing; Arrow batches)
+    → posexplode(entries) fan-out (R8)
+    → md5 entry hash (H1) + first-wins window dedup (H2)
+    → per-doc sequencing → ordered output spans / unpivot / stats
+
+The dedup window partitions by (doc_id, hash) and the sequencing window by
+doc_id; both operate on *entries* (a few per page), not spans, so the giant
+document tail is small by the time data converges on a single partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .. import kernel
+from ..configs import FIELD_KEYS, VENDOR_CONFIGS
+from ..oracle import JOB_TS
+from .udfs import extract_page_udf
+
+
+def _vendor_name_col(vendor_col):
+    """vendor_id → vendor display name as a literal CASE chain (tiny dim —
+    the reference's Vendor table; constant-folded by Catalyst, no join)."""
+    mapping = [(vid, cfg["vendor_name"]) for vid, cfg in VENDOR_CONFIGS.items()]
+    expr = F.lit(None).cast("string")
+    for vid, name in mapping:
+        expr = F.when(vendor_col == vid, F.lit(name)).otherwise(expr)
+    return expr
+
+
+def admit_documents(docs: DataFrame) -> DataFrame:
+    """Admission control (views/core.py:622-644 → SURVEY.md H3/J4):
+    first-wins dedup on the sha256 content hash (later duplicate uploads are
+    rejected regardless of vendor), and only configured vendors proceed."""
+    w = Window.partitionBy("file_hash").orderBy("doc_id")
+    return (
+        docs.where(F.col("vendor").isin(list(VENDOR_CONFIGS)))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def page_frame(admitted: DataFrame) -> DataFrame:
+    """Explode spans and assemble ordered per-page inputs for the kernel UDF.
+
+    Group blobs are built JVM-side with higher-order functions over the
+    offset-sorted span list; separators are control chars outside the payload
+    alphabet (kernel.TABLE_SEP / MEDIA_SEP)."""
+    spans = admitted.select(
+        "doc_id",
+        "vendor",
+        F.explode("spans").alias("s"),
+    ).select(
+        "doc_id",
+        "vendor",
+        F.expr("s.offset div 1000").cast("int").alias("page"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.offset").alias("offset"),
+    )
+
+    grouped = spans.groupBy("doc_id", "vendor", "page").agg(
+        F.sort_array(F.collect_list(F.struct("offset", "kind", "text"))).alias("sp")
+    )
+
+    def _texts_of(kind: str) -> F.Column:
+        return F.transform(
+            F.filter(F.col("sp"), lambda x: x["kind"] == kind), lambda x: x["text"]
+        )
+
+    return grouped.select(
+        "doc_id",
+        "vendor",
+        "page",
+        F.array_join(_texts_of("table"), kernel.TABLE_SEP).alias("table_blob"),
+        F.array_join(_texts_of("text"), " ").alias("text_raw"),
+        F.array_join(_texts_of("media"), kernel.MEDIA_SEP).alias("media_blob"),
+    )
+
+
+def page_entries_frame(pages: DataFrame) -> DataFrame:
+    r = extract_page_udf("vendor", "table_blob", "text_raw", "media_blob")
+    return pages.select(
+        "doc_id",
+        "vendor",
+        "page",
+        r["entries"].alias("entries"),
+        r["used_ocr"].alias("used_ocr"),
+    )
+
+
+def entries_frame(page_entries: DataFrame) -> DataFrame:
+    """Fan-out (R8), entry hash (H1), first-wins intra-doc dedup (H2 — an
+    explicit ordering window, never bare dropDuplicates), sequencing, and the
+    sanitized per-entry artifact name (H4)."""
+    fan = page_entries.select(
+        "doc_id",
+        "vendor",
+        "page",
+        "used_ocr",
+        F.posexplode("entries").alias("entry_idx", "e"),
+    ).select(
+        "doc_id",
+        "vendor",
+        "page",
+        "used_ocr",
+        "entry_idx",
+        F.col("e.plate").alias("plate"),
+        F.col("e.heat").alias("heat"),
+        F.col("e.cert").alias("cert"),
+        F.col("e.quality").alias("quality"),
+    )
+
+    hashed = fan.withColumn(
+        "entry_hash",
+        F.md5(F.concat_ws("|", F.col("vendor"), F.col("plate"), F.col("heat"), F.col("cert"))),
+    )
+
+    w_dedup = Window.partitionBy("doc_id", "entry_hash").orderBy("page", "entry_idx")
+    deduped = (
+        hashed.withColumn("_rn", F.row_number().over(w_dedup))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+    w_order = Window.partitionBy("doc_id").orderBy("page", "entry_idx")
+    ordered = deduped.withColumn("entry_rank", F.row_number().over(w_order))
+
+    def _part(c):
+        # extractor.py:206-212: '/', '\' → '-'; '\n', '\r' → ' '; strip.
+        return F.trim(F.translate(c, "/\\\n\r", "--  "))
+
+    filename = F.concat(
+        F.trim(
+            F.regexp_replace(
+                F.concat_ws("_", _part(F.col("plate")), _part(F.col("heat")), _part(F.col("cert"))),
+                '[<>:"/\\\\|?*\n\r\t]+',
+                " ",
+            )
+        ),
+        F.lit(".pdf"),
+    )
+
+    return ordered.withColumn("filename", filename).withColumn(
+        "vendor_name", _vendor_name_col(F.col("vendor"))
+    )
+
+
+def extracted_spans_frame(entries: DataFrame) -> DataFrame:
+    """Ordered output span sequence (FIXTURES.md §5): 4 spans per entry,
+    seq contiguous per doc, offset = source page base offset."""
+    span_structs = F.array(
+        F.struct(
+            F.lit("field:PLATE_NO").alias("kind"),
+            F.col("plate").alias("text"),
+            F.lit("").alias("media_ref"),
+            F.lit(0).alias("fi"),
+        ),
+        F.struct(
+            F.lit("field:HEAT_NO").alias("kind"),
+            F.col("heat").alias("text"),
+            F.lit("").alias("media_ref"),
+            F.lit(1).alias("fi"),
+        ),
+        F.struct(
+            F.lit("field:TEST_CERT_NO").alias("kind"),
+            F.col("cert").alias("text"),
+            F.lit("").alias("media_ref"),
+            F.lit(2).alias("fi"),
+        ),
+        F.struct(
+            F.lit("entry_ref").alias("kind"),
+            F.lit("").alias("text"),
+            F.col("filename").alias("media_ref"),
+            F.lit(3).alias("fi"),
+        ),
+    )
+    return (
+        entries.withColumn("sp", F.explode(span_structs))
+        .select(
+            "doc_id",
+            ((F.col("entry_rank") - 1) * 4 + F.col("sp.fi")).cast("long").alias("seq"),
+            F.col("sp.kind").alias("kind"),
+            F.col("sp.text").alias("text"),
+            F.col("sp.media_ref").alias("media_ref"),
+            (F.col("page") * 1000).cast("int").alias("offset"),
+        )
+    )
+
+
+def extracted_frame(entries: DataFrame, job_ts: str = JOB_TS) -> DataFrame:
+    """Unpivot (A2, tasks.py:158-169): one row per truthy field value."""
+    field_structs = F.array(
+        *[
+            F.struct(
+                F.lit(fk).alias("field_key"),
+                F.col(c).alias("field_value"),
+                F.lit(fi).alias("fi"),
+            )
+            for fi, (fk, c) in enumerate(zip(FIELD_KEYS, ("plate", "heat", "cert")))
+        ]
+    )
+    return (
+        entries.withColumn("f", F.explode(field_structs))
+        .where(F.col("f.field_value") != "")
+        .select(
+            "doc_id",
+            F.col("vendor_name").alias("vendor"),
+            F.col("f.field_key").alias("field_key"),
+            F.col("f.field_value").alias("field_value"),
+            (F.col("page") + 1).cast("int").alias("page_number"),
+            ((F.col("entry_rank") - 1) * 3 + F.col("f.fi")).cast("long").alias("row_seq"),
+            F.lit(job_ts).alias("created"),
+        )
+    )
+
+
+def doc_stats_frame(page_entries: DataFrame) -> DataFrame:
+    """Per-doc stats (A1, extractor.py:128-136,180-195,257-259). List-valued
+    stats are comma-joined sorted page numbers (stable scalar columns for the
+    DuckDB cross-check)."""
+    page_level = page_entries.select(
+        "doc_id",
+        "page",
+        F.size("entries").alias("n_entries"),
+        "used_ocr",
+    )
+    return page_level.groupBy("doc_id").agg(
+        (F.max("page") + 1).cast("int").alias("total_pages"),
+        F.sum(F.when(F.col("n_entries") > 0, 1).otherwise(0)).cast("int").alias("successful_pages"),
+        F.concat_ws(
+            ",", F.sort_array(F.collect_list(F.when(F.col("used_ocr"), F.col("page") + 1)))
+        ).alias("ocr_fallback_pages"),
+        F.concat_ws(
+            ",", F.sort_array(F.collect_list(F.when(F.col("n_entries") == 0, F.col("page") + 1)))
+        ).alias("failed_pages"),
+        F.max(F.col("n_entries") > 0).alias("extraction_success"),
+        (F.max(F.col("n_entries") > 0) & F.max(F.col("n_entries") == 0)).alias(
+            "partial_extraction"
+        ),
+    )
+
+
+def run_pipeline(spark, docs: DataFrame, job_ts: str = JOB_TS) -> dict[str, DataFrame]:
+    """Full job. Returns the four output DataFrames; callers persist with
+    .write.partitionBy(...).parquet(...) (Iceberg writeTo on a real cluster)."""
+    from .reports import master_log_frame
+
+    admitted = admit_documents(docs)
+    pages = page_frame(admitted)
+    page_entries = page_entries_frame(pages)
+    entries = entries_frame(page_entries)
+    extracted = extracted_frame(entries, job_ts)
+    return {
+        "extracted_spans": extracted_spans_frame(entries),
+        "extracted": extracted,
+        "doc_stats": doc_stats_frame(page_entries),
+        "master_log": master_log_frame(extracted, admitted, job_ts),
+    }

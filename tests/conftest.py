@@ -1,0 +1,10 @@
+import pytest
+
+from pdf_parser_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(cores=4, app_name="pdf_parser_spark_tests", shuffle_partitions=8)
+    yield s
+    s.stop()
