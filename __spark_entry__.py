@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship extraction pipeline end-to-end on a small
+deterministic span corpus; ``queries``/``oracle_sql`` expose every
+implemented operator (SURVEY.md §2) for the driver's DuckDB cross-check.
+
+The pipeline queries (extract_* / report_*) are checked against the
+pure-Python reference oracle's materialized outputs — a full-fidelity
+span-sequence equality check on the whole engine; the analytic queries are
+checked against hand-written DuckDB SQL over the driver's testdata tables.
 """
 
 from __future__ import annotations
@@ -13,26 +16,30 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pdf_parser_spark import driver_contract
+from pdf_parser_spark.analytics import ANALYTIC_QUERIES
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: full extraction pipeline (admission → page assembly →
+    Arrow-kernel extraction → fan-out/dedup → ordered span output) on the
+    sf0.001-scale deterministic corpus."""
+    return driver_contract.pipeline_outputs(spark, "/root/testdata/sf0.001")[
+        "extracted_spans"
+    ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    out.update(driver_contract.pipeline_query_fns())
+    for name, (fn, _sql) in ANALYTIC_QUERIES.items():
+        out[name] = fn
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out = dict(driver_contract.pipeline_oracle_sql("0.01"))
+    for name, (_fn, sql) in ANALYTIC_QUERIES.items():
+        if sql is not None:
+            out[name] = sql
+    return out

@@ -1,0 +1,733 @@
+"""Analytics + training-data operator queries with DuckDB oracle SQL.
+
+Each registry entry is ``name -> (spark_fn, oracle_sql)`` where ``spark_fn``
+takes (spark, sf_dir) and returns a DataFrame, and ``oracle_sql`` is ANSI-ish
+SQL DuckDB runs against the same parquet tables (pre-registered views:
+region nation customer supplier part orders lineitem events documents
+embeddings). The driver compares row count + schema + order-insensitive
+value hash, so:
+
+  * every computed column is aliased identically on both sides;
+  * integer outputs are BIGINT/long on both sides;
+  * double outputs are rounded (2-4 dp) AFTER identical arithmetic order, so
+    float nondeterminism from shuffle/aggregation order cannot flip a value;
+  * rankings order by the *rounded* measure with an id tiebreak.
+
+Operator coverage mapping (SURVEY.md §2 ids) is noted per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# Extraction-operator analogs over the driver `documents` table
+# --------------------------------------------------------------------------
+
+
+def q_regex_token_extract(spark, sf_dir):
+    """R1 global match-all (JVM-expressible subset): extract every
+    word-bounded s-token, fan out, aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(F.regexp_extract_all("text", F.lit(r"\bs[a-z]{3,}\b"), 0)).alias("token"),
+        )
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+
+
+SQL_REGEX_TOKEN_EXTRACT = r"""
+SELECT token, count(*)::BIGINT AS n, count(DISTINCT doc_id)::BIGINT AS n_docs
+FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\bs[a-z]{3,}\b')) AS token
+      FROM documents)
+GROUP BY token
+"""
+
+
+def q_exact_dedup_md5(spark, sf_dir):
+    """H1/H3 exact content dedup: md5 groups with first-wins keeper."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5("text").alias("hash")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("keeper"),
+    )
+
+
+SQL_EXACT_DEDUP_MD5 = """
+SELECT md5(text) AS hash, count(*)::BIGINT AS n_docs, min(doc_id) AS keeper
+FROM documents GROUP BY 1
+"""
+
+
+def q_filename_sanitize(spark, sf_dir):
+    """H4 sanitization chain (extractor.py:205-219) as built-ins."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.trim(F.regexp_replace(F.substring("text", 1, 40), '[<>:"/\\\\|?*\n\r\t]+', " ")),
+            F.lit(".pdf"),
+        ).alias("name"),
+    )
+
+
+SQL_FILENAME_SANITIZE = """
+SELECT doc_id,
+       trim(regexp_replace(substr(text, 1, 40), '[<>:"/\\|?*\n\r\t]+', ' ', 'g')) || '.pdf' AS name
+FROM documents
+"""
+
+
+def q_heat_correction(spark, sf_dir):
+    """R13 OCR-correction map (posco_corrections.py:27-47) over synthesized
+    heat numbers derived deterministically from doc_id."""
+    docs = _t(spark, sf_dir, "documents")
+    heat = F.format_string("SU30%03d", F.col("doc_id") % 1000)
+    corrected = (
+        F.when(heat == "SU30682", F.lit("SU30882"))
+        .when(heat == "SU30082", F.lit("SU30882"))
+        .when(heat == "SU30692", F.lit("SU30892"))
+        .when(heat == "SU30602", F.lit("SU30802"))
+        .when(heat.contains("682"), F.regexp_replace(heat, "682", "882"))
+        .when(heat.contains("082"), F.regexp_replace(heat, "082", "882"))
+        .otherwise(heat)
+    )
+    return docs.select(corrected.alias("corrected_heat")).groupBy("corrected_heat").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+SQL_HEAT_CORRECTION = """
+SELECT corrected_heat, count(*)::BIGINT AS n FROM (
+  SELECT CASE WHEN h = 'SU30682' THEN 'SU30882'
+              WHEN h = 'SU30082' THEN 'SU30882'
+              WHEN h = 'SU30692' THEN 'SU30892'
+              WHEN h = 'SU30602' THEN 'SU30802'
+              WHEN h LIKE '%682%' THEN replace(h, '682', '882')
+              WHEN h LIKE '%082%' THEN replace(h, '082', '882')
+              ELSE h END AS corrected_heat
+  FROM (SELECT printf('SU30%03d', doc_id % 1000) AS h FROM documents)
+) GROUP BY 1
+"""
+
+
+def q_quality_score(spark, sf_dir):
+    """O4 text-quality scoring (ocr_helper.py:232-276), built-in-expressible
+    variant (ASCII alnum) for the SQL cross-check."""
+    docs = _t(spark, sf_dir, "documents")
+    length = F.length("text").cast("double")
+    alnum = F.length(F.regexp_replace("text", "[^0-9a-zA-Z]", "")).cast("double")
+    spaces = (F.length("text") - F.length(F.regexp_replace("text", " ", ""))).cast("double")
+    hits = F.size(F.regexp_extract_all("text", F.lit("[a-z]{6,}"), 0)).cast("double")
+    score = F.round(
+        length * 0.1 + alnum * 0.5 + hits * 2.0 - (length - alnum - spaces) * 0.1, 2
+    )
+    return docs.select("doc_id", score.alias("score"))
+
+
+SQL_QUALITY_SCORE = """
+SELECT doc_id,
+       round(length(text)::DOUBLE * 0.1
+             + length(regexp_replace(text, '[^0-9a-zA-Z]', '', 'g'))::DOUBLE * 0.5
+             + len(regexp_extract_all(text, '[a-z]{6,}'))::DOUBLE * 2.0
+             - (length(text) - length(regexp_replace(text, '[^0-9a-zA-Z]', '', 'g'))
+                - (length(text) - length(replace(text, ' ', ''))))::DOUBLE * 0.1,
+             2) AS score
+FROM documents
+"""
+
+
+def q_ocr_gate_buckets(spark, sf_dir):
+    """P2 OCR-gate predicate split as branch buckets."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = F.when(F.length("text") < 200, F.lit("ocr")).otherwise(F.lit("native"))
+    return docs.groupBy("lang", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").cast("long").alias("chars"),
+    )
+
+
+SQL_OCR_GATE_BUCKETS = """
+SELECT lang, CASE WHEN length(text) < 200 THEN 'ocr' ELSE 'native' END AS bucket,
+       count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS chars
+FROM documents GROUP BY 1, 2
+"""
+
+
+def q_vendor_detection(spark, sf_dir):
+    """R11 vendor-detection scoring (vendor_detection.py:59-195): weighted
+    term counts, >1-match bonus, length normalization, 0.4 threshold."""
+    docs = _t(spark, sf_dir, "documents")
+
+    def occ(word):
+        return (
+            (F.length("text") - F.length(F.replace(F.col("text"), F.lit(word), F.lit(""))))
+            / len(word)
+        ).cast("double")
+
+    matches = occ("spark") + occ("query") + occ("scan")
+    raw = occ("spark") * 0.9 + occ("query") * 0.7 + occ("scan") * 0.6 - occ("slow") * 0.5
+    boosted = F.when(matches > 1, raw * 1.2).otherwise(raw)
+    lf = F.when(
+        F.length("text") > 1000, F.least(F.lit(1.0), F.lit(1000.0) / F.length("text"))
+    ).otherwise(F.lit(1.0))
+    final = F.least(boosted * lf, F.lit(1.0))
+    return (
+        docs.select("doc_id", matches.alias("m"), F.round(final, 4).alias("score"))
+        .where((F.col("m") > 0) & (F.col("score") >= 0.4))
+        .select("doc_id", "score")
+    )
+
+
+SQL_VENDOR_DETECTION = """
+WITH s AS (
+  SELECT doc_id,
+         (length(text) - length(replace(text, 'spark', ''))) / 5 AS o_spark,
+         (length(text) - length(replace(text, 'query', ''))) / 5 AS o_query,
+         (length(text) - length(replace(text, 'scan', ''))) / 4 AS o_scan,
+         (length(text) - length(replace(text, 'slow', ''))) / 4 AS o_slow,
+         length(text) AS l
+  FROM documents
+), sc AS (
+  SELECT doc_id, o_spark + o_query + o_scan AS m,
+         round(least(
+           (CASE WHEN o_spark + o_query + o_scan > 1
+                 THEN (o_spark*0.9 + o_query*0.7 + o_scan*0.6 - o_slow*0.5) * 1.2
+                 ELSE (o_spark*0.9 + o_query*0.7 + o_scan*0.6 - o_slow*0.5) END)
+           * (CASE WHEN l > 1000 THEN least(1.0, 1000.0 / l) ELSE 1.0 END),
+           1.0), 4) AS score
+  FROM s
+)
+SELECT doc_id, score FROM sc WHERE m > 0 AND score >= 0.4
+"""
+
+
+# --------------------------------------------------------------------------
+# Relational operator coverage (A/J/L rows of SURVEY §2) over TPC-H-ish tables
+# --------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: scan-filter-aggregate with partial aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*)::BIGINT AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: 3-way join + agg + deterministic top-k (L1)."""
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < "1998-03-15")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > "1996-03-15")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+SQL_SHIPPING_PRIORITY = """
+SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
+GROUP BY o_orderkey
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def q_revenue_by_nation(spark, sf_dir):
+    """TPC-H Q5 shape: snowflake join through broadcast dims (J2)."""
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+SQL_REVENUE_BY_NATION = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*)::BIGINT AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+def q_user_daily_activity(spark, sf_dir):
+    """A9-style grouping on the events stream table."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        "user_id",
+        F.year("ts").cast("long").alias("y"),
+        F.month("ts").cast("long").alias("m"),
+        F.dayofmonth("ts").cast("long").alias("d"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+SQL_USER_DAILY_ACTIVITY = """
+SELECT user_id, date_part('year', ts)::BIGINT AS y, date_part('month', ts)::BIGINT AS m,
+       date_part('day', ts)::BIGINT AS d,
+       count(*)::BIGINT AS n_events, round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2, 3, 4
+"""
+
+
+def q_range_join_nearest(spark, sf_dir):
+    """J5/T7 tolerance range join + nearest-wins window: for each error
+    event, the nearest click by the same user within 60 s."""
+    ev = _t(spark, sf_dir, "events")
+    err = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("user_id").alias("u"),
+        F.unix_timestamp("ts").alias("et"),
+    )
+    clk = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("cu"),
+        F.unix_timestamp("ts").alias("ct"),
+    )
+    joined = err.join(
+        clk,
+        (err.u == clk.cu) & (F.abs(err.et - clk.ct) <= 60),
+    ).select("error_id", "click_id", F.abs(F.col("et") - F.col("ct")).alias("diff"))
+    w = Window.partitionBy("error_id").orderBy("diff", "click_id")
+    return joined.withColumn("_rn", F.row_number().over(w)).where("_rn = 1").drop("_rn")
+
+
+SQL_RANGE_JOIN_NEAREST = """
+WITH err AS (SELECT event_id AS error_id, user_id, floor(epoch(ts))::BIGINT AS et
+             FROM events WHERE event_type = 'error'),
+     clk AS (SELECT event_id AS click_id, user_id, floor(epoch(ts))::BIGINT AS ct
+             FROM events WHERE event_type = 'click'),
+     j AS (SELECT error_id, click_id, abs(et - ct) AS diff,
+                  row_number() OVER (PARTITION BY error_id ORDER BY abs(et - ct), click_id) AS rn
+           FROM err JOIN clk ON err.user_id = clk.user_id AND abs(et - ct) <= 60)
+SELECT error_id, click_id, diff FROM j WHERE rn = 1
+"""
+
+
+def q_positional_zip_join(spark, sf_dir):
+    """J6/T8 positional zip: i-th signup paired with i-th error per user,
+    full-outer on position, leftovers get -1 (the reference's 'N/A')."""
+    ev = _t(spark, sf_dir, "events")
+
+    def ranked(kind, out):
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        return (
+            ev.where(F.col("event_type") == kind)
+            .withColumn("pos", F.row_number().over(w))
+            .select(F.col("user_id").alias(f"{out}_user"), "pos", F.col("event_id").alias(out))
+        )
+
+    s = ranked("signup", "signup_id").withColumnRenamed("pos", "spos")
+    e = ranked("error", "error_id").withColumnRenamed("pos", "epos")
+    j = s.join(
+        e,
+        (s.signup_id_user == e.error_id_user) & (s.spos == e.epos),
+        "full_outer",
+    )
+    return j.select(
+        F.coalesce("signup_id_user", "error_id_user").alias("user_id"),
+        F.coalesce("spos", "epos").alias("pos"),
+        F.coalesce("signup_id", F.lit(-1)).alias("signup_id"),
+        F.coalesce("error_id", F.lit(-1)).alias("error_id"),
+    )
+
+
+SQL_POSITIONAL_ZIP_JOIN = """
+WITH s AS (SELECT user_id, event_id AS signup_id,
+                  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos
+           FROM events WHERE event_type = 'signup'),
+     e AS (SELECT user_id, event_id AS error_id,
+                  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos
+           FROM events WHERE event_type = 'error')
+SELECT coalesce(s.user_id, e.user_id) AS user_id,
+       coalesce(s.pos, e.pos)::BIGINT AS pos,
+       coalesce(signup_id, -1) AS signup_id,
+       coalesce(error_id, -1) AS error_id
+FROM s FULL OUTER JOIN e ON s.user_id = e.user_id AND s.pos = e.pos
+"""
+
+
+def q_anti_join_new_docs(spark, sf_dir):
+    """J4 dedup anti-join (views/core.py:630): incoming docs vs known hashes."""
+    docs = _t(spark, sf_dir, "documents")
+    known = docs.where("doc_id < 100").select(F.md5("text").alias("h"))
+    incoming = docs.where("doc_id >= 100").withColumn("h", F.md5("text"))
+    return incoming.join(known, "h", "left_anti").select("doc_id")
+
+
+SQL_ANTI_JOIN_NEW_DOCS = """
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id >= 100
+  AND NOT EXISTS (SELECT 1 FROM documents o WHERE o.doc_id < 100 AND md5(o.text) = md5(d.text))
+"""
+
+
+def q_unpivot_measures(spark, sf_dir):
+    """A2 unpivot (stack) + re-aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.selectExpr(
+            "stack(3, 'qty', l_quantity, 'price', l_extendedprice, 'disc', l_discount) "
+            "as (field_key, value)"
+        )
+        .groupBy("field_key")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 3).alias("avg_value"),
+            F.round(F.sum("value"), 1).alias("sum_value"),
+        )
+    )
+
+
+SQL_UNPIVOT_MEASURES = """
+SELECT field_key, count(*)::BIGINT AS n, round(avg(value), 3) AS avg_value,
+       round(sum(value), 1) AS sum_value
+FROM (
+  SELECT 'qty' AS field_key, l_quantity AS value FROM lineitem
+  UNION ALL SELECT 'price', l_extendedprice FROM lineitem
+  UNION ALL SELECT 'disc', l_discount FROM lineitem
+)
+GROUP BY field_key
+"""
+
+
+# --------------------------------------------------------------------------
+# Training-data pipeline operators (dedup / similarity / text analysis)
+# --------------------------------------------------------------------------
+
+
+def q_minhash_band_candidates(spark, sf_dir):
+    """MinHash+LSH near-dup candidates: per (doc, band) signature =
+    min(md5(token:band)) over the distinct-token set; docs sharing a (band,
+    sig) bucket are candidates. Spark side does the real bucket self-join
+    (the scale path); the oracle counts pairs per bucket arithmetically —
+    identical results since each doc appears once per bucket."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
+    )
+    sigs = (
+        toks.withColumn("band", F.explode(F.sequence(F.lit(0), F.lit(3))))
+        .groupBy("doc_id", "band")
+        .agg(F.min(F.md5(F.concat_ws(":", "token", "band"))).alias("sig"))
+    )
+    a = sigs.select(F.col("doc_id").alias("da"), "band", "sig")
+    b = sigs.select(F.col("doc_id").alias("db"), F.col("band").alias("band_b"), F.col("sig").alias("sig_b"))
+    pairs = a.join(b, (a.band == b.band_b) & (a.sig == b.sig_b) & (a.da < b.db))
+    return pairs.groupBy(F.col("band").cast("long").alias("band")).agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+
+
+SQL_MINHASH_BAND_CANDIDATES = """
+WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+     sigs AS (SELECT doc_id, band, min(md5(token || ':' || band)) AS sig
+              FROM toks, (SELECT unnest(range(4)) AS band)
+              GROUP BY doc_id, band),
+     buckets AS (SELECT band, sig, count(*) AS c FROM sigs GROUP BY band, sig)
+SELECT band::BIGINT AS band, sum((c * (c - 1)) // 2)::BIGINT AS n_pairs
+FROM buckets GROUP BY 1 HAVING sum((c * (c - 1)) // 2) > 0
+"""
+
+
+def q_simhash(spark, sf_dir):
+    """SimHash document fingerprint (16-bit): per bit position, sign of the
+    sum of ±1 votes from md5 hex-digit parity of each token occurrence."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    votes = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("pos"),
+        F.md5("token").alias("h"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.when(F.ascii(F.expr("substring(h, pos + 1, 1)")) % 2 == 1, F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("vote"),
+    )
+    bits = votes.groupBy("doc_id", "pos").agg(
+        F.when(F.sum("vote") >= 0, F.lit("1")).otherwise(F.lit("0")).alias("bit")
+    )
+    return bits.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "bit"))), lambda x: x["bit"]
+            ),
+            "",
+        ).alias("simhash")
+    )
+
+
+SQL_SIMHASH = """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+     votes AS (SELECT doc_id, pos,
+                      CASE WHEN ascii(substr(md5(token), pos + 1, 1)) % 2 = 1 THEN 1 ELSE -1 END AS vote
+               FROM toks, (SELECT unnest(range(16)) AS pos)),
+     bits AS (SELECT doc_id, pos,
+                     CASE WHEN sum(vote) >= 0 THEN '1' ELSE '0' END AS bit
+              FROM votes GROUP BY doc_id, pos)
+SELECT doc_id, string_agg(bit, '' ORDER BY pos) AS simhash FROM bits GROUP BY doc_id
+"""
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """n-gram (token-set) Jaccard near-dup between consecutive docs —
+    explode/equi-join formulation (portable, and the shape that scales:
+    intersection via shuffle join on token, never a cross product)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = toks.select(F.col("doc_id").alias("doc_a"), "token")
+    b = toks.select((F.col("doc_id") - 1).alias("doc_a2"), F.col("token").alias("token_b"))
+    inter = (
+        a.join(b, (a.doc_a == b.doc_a2) & (a.token == b.token_b))
+        .groupBy("doc_a")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select((F.col("doc_id") - 1).alias("doc_a"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_a")
+        .select(
+            "doc_a",
+            (F.col("doc_a") + 1).alias("doc_b"),
+            F.round(F.col("c") / (F.col("na") + F.col("nb") - F.col("c")), 4).alias("jaccard"),
+        )
+    )
+
+
+SQL_NGRAM_JACCARD = """
+WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+     sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
+     inter AS (SELECT a.doc_id AS doc_a, count(*) AS c
+               FROM toks a JOIN toks b ON b.doc_id = a.doc_id + 1 AND b.token = a.token
+               GROUP BY 1)
+SELECT doc_a, doc_a + 1 AS doc_b,
+       round(c / (sa.n + sb.n - c), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_a + 1
+"""
+
+
+def q_embedding_knn(spark, sf_dir):
+    """Brute-force cosine/dot top-k similarity search: queries (vec_id < 3)
+    vs corpus (vec_id >= 3) via posexplode + equi-join on dimension — the
+    formulation that distributes (no driver-side loop, no cross collect).
+    Ranking uses the ROUNDED dot product + id tiebreak so both engines rank
+    identically."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where("vec_id < 3").select(
+        F.col("vec_id").alias("qid"), F.posexplode("embedding").alias("i", "qv")
+    )
+    c = emb.where("vec_id >= 3").select(
+        F.col("vec_id").alias("cid"), F.posexplode("embedding").alias("ci", "cv")
+    )
+    dots = (
+        q.join(c, q.i == c.ci)
+        .groupBy("qid", "cid")
+        .agg(F.round(F.sum(F.col("qv").cast("double") * F.col("cv").cast("double")), 3).alias("dot"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("dot"), "cid")
+    return dots.withColumn("rank", F.row_number().over(w)).where("rank <= 5").select(
+        "qid", "cid", "dot", F.col("rank").cast("long").alias("rank")
+    )
+
+
+SQL_EMBEDDING_KNN = """
+WITH q AS (SELECT vec_id AS qid, u.qv::DOUBLE AS qv, u.i
+           FROM embeddings, LATERAL (SELECT unnest(embedding) AS qv,
+                                            generate_subscripts(embedding, 1) AS i) u
+           WHERE vec_id < 3),
+     c AS (SELECT vec_id AS cid, u.cv::DOUBLE AS cv, u.i
+           FROM embeddings, LATERAL (SELECT unnest(embedding) AS cv,
+                                            generate_subscripts(embedding, 1) AS i) u
+           WHERE vec_id >= 3),
+     dots AS (SELECT qid, cid, round(sum(qv * cv), 3) AS dot
+              FROM q JOIN c ON q.i = c.i GROUP BY qid, cid),
+     ranked AS (SELECT qid, cid, dot,
+                       row_number() OVER (PARTITION BY qid ORDER BY dot DESC, cid) AS rank
+                FROM dots)
+SELECT qid, cid, dot, rank::BIGINT AS rank FROM ranked WHERE rank <= 5
+"""
+
+
+def q_embedding_lsh_buckets(spark, sf_dir):
+    """Sign-LSH bucketing over the first 8 dimensions — the scale path for
+    similarity search: candidates only form within a bucket."""
+    emb = _t(spark, sf_dir, "embeddings")
+    bucket = F.concat_ws(
+        "",
+        *[
+            F.when(F.element_at("embedding", i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for i in range(8)
+        ],
+    )
+    return emb.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("vec_id").alias("min_vec_id"),
+    )
+
+
+SQL_EMBEDDING_LSH_BUCKETS = """
+SELECT concat(
+         CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
+         CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
+         CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
+         CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END,
+         CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END,
+         CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END,
+         CASE WHEN embedding[7] >= 0 THEN '1' ELSE '0' END,
+         CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END) AS bucket,
+       count(*)::BIGINT AS n, min(vec_id) AS min_vec_id
+FROM embeddings GROUP BY 1
+"""
+
+
+def q_token_stats_by_lang(spark, sf_dir):
+    """Token counting / language rollup (text-analysis surface)."""
+    docs = _t(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " ")).cast("long")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tokens).alias("total_tokens"),
+        F.round(F.avg(n_tokens), 3).alias("avg_tokens"),
+    )
+
+
+SQL_TOKEN_STATS_BY_LANG = """
+SELECT lang, count(*)::BIGINT AS n_docs,
+       sum(len(string_split(text, ' ')))::BIGINT AS total_tokens,
+       round(avg(len(string_split(text, ' '))), 3) AS avg_tokens
+FROM documents GROUP BY lang
+"""
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Winnowing-style document fingerprint: min md5 over the 3-token
+    shingle set."""
+    docs = _t(spark, sf_dir, "documents").withColumn("toks", F.split("text", " "))
+    docs = docs.where(F.size("toks") >= 3)
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - 3),
+        lambda i: F.md5(
+            F.concat_ws(
+                " ",
+                F.element_at(F.col("toks"), i + 1),
+                F.element_at(F.col("toks"), i + 2),
+                F.element_at(F.col("toks"), i + 3),
+            )
+        ),
+    )
+    return docs.select("doc_id", F.array_min(shingles).alias("fingerprint"))
+
+
+SQL_DOC_FINGERPRINT = """
+SELECT doc_id,
+       list_min([md5(concat_ws(' ', toks[i + 1], toks[i + 2], toks[i + 3]))
+                 for i in range(0, len(toks) - 2)]) AS fingerprint
+FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+WHERE len(toks) >= 3
+"""
+
+
+ANALYTIC_QUERIES: dict[str, tuple] = {
+    "regex_token_extract": (q_regex_token_extract, SQL_REGEX_TOKEN_EXTRACT),
+    "exact_dedup_md5": (q_exact_dedup_md5, SQL_EXACT_DEDUP_MD5),
+    "filename_sanitize": (q_filename_sanitize, SQL_FILENAME_SANITIZE),
+    "heat_correction": (q_heat_correction, SQL_HEAT_CORRECTION),
+    "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
+    "ocr_gate_buckets": (q_ocr_gate_buckets, SQL_OCR_GATE_BUCKETS),
+    "vendor_detection": (q_vendor_detection, SQL_VENDOR_DETECTION),
+    "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
+    "shipping_priority": (q_shipping_priority, SQL_SHIPPING_PRIORITY),
+    "revenue_by_nation": (q_revenue_by_nation, SQL_REVENUE_BY_NATION),
+    "user_daily_activity": (q_user_daily_activity, SQL_USER_DAILY_ACTIVITY),
+    "range_join_nearest": (q_range_join_nearest, SQL_RANGE_JOIN_NEAREST),
+    "positional_zip_join": (q_positional_zip_join, SQL_POSITIONAL_ZIP_JOIN),
+    "anti_join_new_docs": (q_anti_join_new_docs, SQL_ANTI_JOIN_NEW_DOCS),
+    "unpivot_measures": (q_unpivot_measures, SQL_UNPIVOT_MEASURES),
+    "minhash_band_candidates": (q_minhash_band_candidates, SQL_MINHASH_BAND_CANDIDATES),
+    "simhash": (q_simhash, SQL_SIMHASH),
+    "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "embedding_knn": (q_embedding_knn, SQL_EMBEDDING_KNN),
+    "embedding_lsh_buckets": (q_embedding_lsh_buckets, SQL_EMBEDDING_LSH_BUCKETS),
+    "token_stats_by_lang": (q_token_stats_by_lang, SQL_TOKEN_STATS_BY_LANG),
+    "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+}
