@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Benchmark driver: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Headline set:
+  - ``extract_pipeline``: the flagship end-to-end extraction job (admission
+    -> page assembly -> Arrow kernel -> fan-out/dedup -> ordered spans +
+    unpivot + stats + master log) over the deterministic span corpus at the
+    benchmark scale factor. The corpus is generated distributed
+    (corpus.spark_gen_corpus) and cached as parquet so repeated runs measure
+    the pipeline, not the generator.
+  - every analytic query from pdf_parser_spark.analytics over the driver's
+    testdata tables at the same scale factor.
+
+Each query is forced to full materialization with the noop sink (computes
+every column; no driver collect). The JSON line carries the required
+metric/value/unit/queries/sf keys plus docs_per_sec for the pipeline.
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   input dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[k] parallelism (default 32)
+  SPARK_GRAFT_QUERIES  comma-list subset to run (default: all)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pdf_parser_spark import corpus
+from pdf_parser_spark.analytics import ANALYTIC_QUERIES
+from pdf_parser_spark.extraction import run_pipeline
+from pdf_parser_spark.session import get_spark
+
+
+def _materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def bench_pipeline(spark, sf: float, cache_dir: str) -> tuple[float, int]:
+    """Time the full extraction pipeline; returns (seconds, n_docs)."""
+    n_docs = corpus.docs_for_sf(sf)
+    path = os.path.join(cache_dir, f"bench_corpus_sf{sf}.parquet")
+    if not os.path.exists(path):
+        corpus.spark_gen_corpus(spark, n_docs).write.mode("overwrite").parquet(path)
+    docs = spark.read.parquet(path)
+    t0 = time.perf_counter()
+    out = run_pipeline(spark, docs)
+    for df in out.values():
+        _materialize(df)
+    return time.perf_counter() - t0, n_docs
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    base = os.path.basename(os.path.normpath(sf_dir))
+    sf = float(base[2:]) if base.startswith("sf") else 0.1
+    only = os.environ.get("SPARK_GRAFT_QUERIES", "")
+    wanted = set(only.split(",")) if only else None
+
+    spark = get_spark(cores=cpus, app_name=f"bench_sf{sf}")
+    spark.sparkContext.setLogLevel("ERROR")
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache")
+    os.makedirs(cache_dir, exist_ok=True)
+
+    queries: dict[str, float] = {}
+    n_docs = 0
+
+    if wanted is None or "extract_pipeline" in wanted:
+        sec, n_docs = bench_pipeline(spark, sf, cache_dir)
+        queries["extract_pipeline"] = round(sec, 3)
+
+    for name, (fn, _sql) in ANALYTIC_QUERIES.items():
+        if wanted is not None and name not in wanted:
+            continue
+        t0 = time.perf_counter()
+        _materialize(fn(spark, sf_dir))
+        queries[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(queries.values()), 3)
+    result = {
+        "metric": "headline query wall time (extraction pipeline + analytics)",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "cpus": cpus,
+    }
+    if n_docs and "extract_pipeline" in queries:
+        result["docs_per_sec"] = round(n_docs / queries["extract_pipeline"], 2)
+        result["n_docs"] = n_docs
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -91,13 +91,20 @@ def page_frame(admitted: DataFrame) -> DataFrame:
 
 
 def page_entries_frame(pages: DataFrame) -> DataFrame:
-    r = extract_page_udf("vendor", "table_blob", "text_raw", "media_blob")
+    # Select the struct result once, expand in a second projection: selecting
+    # r["entries"] and r["used_ocr"] directly would plan the Python UDF twice
+    # (one evaluation per referenced sub-field).
     return pages.select(
         "doc_id",
         "vendor",
         "page",
-        r["entries"].alias("entries"),
-        r["used_ocr"].alias("used_ocr"),
+        extract_page_udf("vendor", "table_blob", "text_raw", "media_blob").alias("r"),
+    ).select(
+        "doc_id",
+        "vendor",
+        "page",
+        F.col("r.entries").alias("entries"),
+        F.col("r.used_ocr").alias("used_ocr"),
     )
 
 
@@ -253,15 +260,31 @@ def doc_stats_frame(page_entries: DataFrame) -> DataFrame:
     )
 
 
-def run_pipeline(spark, docs: DataFrame, job_ts: str = JOB_TS) -> dict[str, DataFrame]:
+def run_pipeline(
+    spark, docs: DataFrame, job_ts: str = JOB_TS, persist: bool = True, admit: bool = True
+) -> dict[str, DataFrame]:
     """Full job. Returns the four output DataFrames; callers persist with
-    .write.partitionBy(...).parquet(...) (Iceberg writeTo on a real cluster)."""
+    .write.partitionBy(...).parquet(...) (Iceberg writeTo on a real cluster).
+
+    ``persist`` caches the two frames downstream of the Arrow kernel — all
+    four outputs derive from them, and recomputing the kernel per output
+    would quadruple the job's only expensive stage. On a real cluster this
+    is persist(MEMORY_AND_DISK) or a checkpoint to the lineage location.
+
+    ``admit=False`` skips admission control for callers that have already
+    run it corpus-globally (lineage.run_with_lineage — admission is a
+    first-wins window over the *whole* input, so it must not be applied
+    per resume subset)."""
     from .reports import master_log_frame
 
-    admitted = admit_documents(docs)
+    admitted = admit_documents(docs) if admit else docs
     pages = page_frame(admitted)
     page_entries = page_entries_frame(pages)
+    if persist:
+        page_entries = page_entries.persist()
     entries = entries_frame(page_entries)
+    if persist:
+        entries = entries.persist()
     extracted = extracted_frame(entries, job_ts)
     return {
         "extracted_spans": extracted_spans_frame(entries),
