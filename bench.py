@@ -41,18 +41,31 @@ def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def bench_pipeline(spark, sf: float, cache_dir: str) -> tuple[float, int]:
-    """Time the full extraction pipeline; returns (seconds, n_docs)."""
+def bench_pipeline(spark, sf: float, cache_dir: str, runs: int = 3) -> tuple[float, int]:
+    """Time the full extraction pipeline; returns (median seconds, n_docs).
+
+    One untimed warmup run first: the cold first action pays one-off session
+    costs (Python worker spawn, whole-stage codegen JIT) that a long-running
+    cluster job amortizes to nothing — timing it would measure the harness,
+    not the pipeline."""
     n_docs = corpus.docs_for_sf(sf)
     path = os.path.join(cache_dir, f"bench_corpus_sf{sf}.parquet")
     if not os.path.exists(path):
         corpus.spark_gen_corpus(spark, n_docs).write.mode("overwrite").parquet(path)
     docs = spark.read.parquet(path)
-    t0 = time.perf_counter()
-    out = run_pipeline(spark, docs)
-    for df in out.values():
-        _materialize(df)
-    return time.perf_counter() - t0, n_docs
+
+    def one_run() -> float:
+        t0 = time.perf_counter()
+        out = run_pipeline(spark, docs)
+        for df in out.values():
+            _materialize(df)
+        # unpersist so the next run (same logical plans) cannot hit the cache
+        spark.catalog.clearCache()
+        return time.perf_counter() - t0
+
+    one_run()  # warmup
+    times = sorted(one_run() for _ in range(runs))
+    return times[len(times) // 2], n_docs
 
 
 def main() -> None:

@@ -707,6 +707,229 @@ WHERE len(toks) >= 3
 """
 
 
+# --------------------------------------------------------------------------
+# Multimodal plumbing (pdf_parser_spark.multimodal): binary payload columns,
+# mapInPandas decode/feature stages. Payloads are deterministic synthetic
+# fakes (no codecs in-sandbox) whose metadata is a pure function of doc_id,
+# so the DuckDB oracle recomputes the expected values arithmetically —
+# checking the whole Arrow/mapInPandas plumbing end to end.
+# --------------------------------------------------------------------------
+
+
+def q_media_decode(spark, sf_dir):
+    """Decode pass over binary media payloads (header parse stands in for
+    the codec): media_ref → (width, height, n_frames, ok)."""
+    from .. import multimodal
+
+    media = multimodal.synth_media(_t(spark, sf_dir, "documents"))
+    return multimodal.decode_media(media).select(
+        "media_ref",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("n_frames").cast("long").alias("n_frames"),
+        "ok",
+    )
+
+
+SQL_MEDIA_DECODE = """
+SELECT 'media://' || doc_id AS media_ref,
+       (64 + doc_id % 97)::BIGINT AS width,
+       (64 + doc_id % 53)::BIGINT AS height,
+       (CASE WHEN doc_id % 3 = 0 THEN 1 + doc_id % 48 ELSE 1 END)::BIGINT AS n_frames,
+       true AS ok
+FROM documents
+"""
+
+
+def q_media_frame_sample(spark, sf_dir):
+    """Video frame sampling: every 10th frame index of decoded multi-frame
+    payloads, exploded JVM-side to one row per sampled frame."""
+    from .. import multimodal
+
+    media = multimodal.synth_media(_t(spark, sf_dir, "documents"))
+    return multimodal.sample_frames(media, every=10).select(
+        "media_ref", F.col("frame_idx").cast("long").alias("frame_idx"), "frame_ref"
+    )
+
+
+SQL_MEDIA_FRAME_SAMPLE = """
+SELECT 'media://' || doc_id AS media_ref,
+       i::BIGINT AS frame_idx,
+       'media://' || doc_id || '#' || i AS frame_ref
+FROM documents, UNNEST(range(0, CASE WHEN doc_id % 3 = 0 THEN 1 + doc_id % 48 ELSE 1 END)) AS t(i)
+WHERE doc_id % 3 = 0 AND (1 + doc_id % 48) > 1 AND i % 10 = 0
+"""
+
+
+def q_media_features(spark, sf_dir):
+    """Feature-extraction stub (byte-stride means standing in for a model
+    forward pass), exploded to (media_ref, chunk, value) rows. Chunk means
+    are exact in both fp32 and fp64 (sums < 2^13, division by 2^5), so no
+    rounding is needed for cross-engine equality."""
+    from .. import multimodal
+
+    media = multimodal.synth_media(_t(spark, sf_dir, "documents"))
+    feats = multimodal.extract_features(media, dim=8)
+    return feats.select(
+        "media_ref", F.posexplode("feature").alias("chunk", "value")
+    ).select(
+        "media_ref",
+        F.col("chunk").cast("long").alias("chunk"),
+        F.col("value").cast("double").alias("value"),
+    )
+
+
+SQL_MEDIA_FEATURES = """
+SELECT 'media://' || doc_id AS media_ref,
+       k::BIGINT AS chunk,
+       list_avg([CAST((doc_id + j) % 256 AS DOUBLE) for j in range(k * 32, k * 32 + 32)]) AS value
+FROM documents, UNNEST(range(0, 8)) AS t(k)
+"""
+
+
+# --------------------------------------------------------------------------
+# Text analysis: language-ID (the synthetic text carries no real language
+# signal, so this checks the operator's scoring/argmax, not label recovery)
+# --------------------------------------------------------------------------
+
+_LANG_MARKERS = {
+    "en": (" the ", " a "),
+    "de": (" der ", " und "),
+    "fr": (" le ", " la "),
+    "es": (" el ", " los "),
+}
+
+
+def q_lang_id_ngram(spark, sf_dir):
+    """Marker-n-gram language ID: per language, score = Σ occurrences of
+    its marker grams (substring counts via length arithmetic — identical
+    semantics in Spark and DuckDB, unlike regex); argmax with fixed
+    priority-order tiebreak; 'und' (undetermined) when all scores are 0."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.concat(F.lit(" "), F.col("text"), F.lit(" ")).alias("t")
+    )
+
+    def count_of(m: str):
+        return (F.length("t") - F.length(F.replace(F.col("t"), F.lit(m), F.lit("")))) / len(m)
+
+    scored = docs.select(
+        "doc_id",
+        *[
+            sum(count_of(m) for m in ms).cast("long").alias(f"s_{lang}")
+            for lang, ms in _LANG_MARKERS.items()
+        ],
+    )
+    best = F.greatest(*[F.col(f"s_{lang}") for lang in _LANG_MARKERS])
+    pick = F.lit("und")
+    for lang in reversed(list(_LANG_MARKERS)):
+        pick = F.when(F.col(f"s_{lang}") == best, F.lit(lang)).otherwise(pick)
+    return scored.select(
+        "doc_id",
+        F.when(best > 0, pick).otherwise(F.lit("und")).alias("lang_pred"),
+        best.alias("score"),
+    )
+
+
+def _sql_lang_count(ms):
+    return " + ".join(
+        f"(length(t) - length(replace(t, '{m}', ''))) / {len(m)}" for m in ms
+    )
+
+
+SQL_LANG_ID_NGRAM = f"""
+WITH scored AS (
+  SELECT doc_id,
+         {", ".join(f"CAST({_sql_lang_count(ms)} AS BIGINT) AS s_{lang}" for lang, ms in _LANG_MARKERS.items())}
+  FROM (SELECT doc_id, ' ' || text || ' ' AS t FROM documents)
+), best AS (
+  SELECT doc_id, s_en, s_de, s_fr, s_es,
+         greatest(s_en, s_de, s_fr, s_es) AS score
+  FROM scored
+)
+SELECT doc_id,
+       CASE WHEN score = 0 THEN 'und'
+            WHEN s_en = score THEN 'en'
+            WHEN s_de = score THEN 'de'
+            WHEN s_fr = score THEN 'fr'
+            ELSE 'es' END AS lang_pred,
+       score
+FROM best
+"""
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup: candidate pairs form only inside a sign-LSH
+    bucket (the scale path — no all-pairs cross join), then exact cosine on
+    candidates; pairs with rounded cosine >= 0.3 survive. Norms are
+    precomputed per vector (one pass) and joined onto the dot products."""
+    emb = _t(spark, sf_dir, "embeddings")
+    bucket = F.concat_ws(
+        "",
+        *[
+            F.when(F.element_at("embedding", i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for i in range(8)
+        ],
+    )
+    norms = emb.select(
+        "vec_id",
+        bucket.alias("bucket"),
+        F.sqrt(
+            F.aggregate(
+                "embedding", F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+            )
+        ).alias("norm"),
+    )
+    e = emb.select(
+        "vec_id", bucket.alias("bucket"), F.posexplode("embedding").alias("i", "v")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.i") == F.col("b.i"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .groupBy(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .agg(F.sum(F.col("a.v").cast("double") * F.col("b.v").cast("double")).alias("dot"))
+    )
+    na = norms.select(F.col("vec_id").alias("id_a"), F.col("norm").alias("norm_a"))
+    nb = norms.select(F.col("vec_id").alias("id_b"), F.col("norm").alias("norm_b"))
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("dot") / (F.col("norm_a") * F.col("norm_b")), 3).alias("cos"),
+        )
+        .where(F.col("cos") >= 0.3)
+    )
+
+
+SQL_EMBEDDING_NEAR_DUP = """
+WITH e AS (
+  SELECT vec_id, embedding,
+         concat(CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
+                CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
+                CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
+                CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END,
+                CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END,
+                CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END,
+                CASE WHEN embedding[7] >= 0 THEN '1' ELSE '0' END,
+                CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END) AS bucket,
+         sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding])) AS norm
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_sum([CAST(a.embedding[i + 1] AS DOUBLE) * CAST(b.embedding[i + 1] AS DOUBLE)
+                       for i in range(0, len(a.embedding))]) / (a.norm * b.norm), 3) AS cos
+FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round(list_sum([CAST(a.embedding[i + 1] AS DOUBLE) * CAST(b.embedding[i + 1] AS DOUBLE)
+                      for i in range(0, len(a.embedding))]) / (a.norm * b.norm), 3) >= 0.3
+"""
+
+
 ANALYTIC_QUERIES: dict[str, tuple] = {
     "regex_token_extract": (q_regex_token_extract, SQL_REGEX_TOKEN_EXTRACT),
     "exact_dedup_md5": (q_exact_dedup_md5, SQL_EXACT_DEDUP_MD5),
@@ -730,4 +953,9 @@ ANALYTIC_QUERIES: dict[str, tuple] = {
     "embedding_lsh_buckets": (q_embedding_lsh_buckets, SQL_EMBEDDING_LSH_BUCKETS),
     "token_stats_by_lang": (q_token_stats_by_lang, SQL_TOKEN_STATS_BY_LANG),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    "media_decode": (q_media_decode, SQL_MEDIA_DECODE),
+    "media_frame_sample": (q_media_frame_sample, SQL_MEDIA_FRAME_SAMPLE),
+    "media_features": (q_media_features, SQL_MEDIA_FEATURES),
+    "lang_id_ngram": (q_lang_id_ngram, SQL_LANG_ID_NGRAM),
+    "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
 }

@@ -52,35 +52,57 @@ def admit_documents(docs: DataFrame) -> DataFrame:
     )
 
 
-def page_frame(admitted: DataFrame) -> DataFrame:
-    """Explode spans and assemble ordered per-page inputs for the kernel UDF.
+def page_frame(admitted: DataFrame, salt_pages: bool = True) -> DataFrame:
+    """Assemble ordered per-page inputs for the kernel UDF — shuffle-free.
 
-    Group blobs are built JVM-side with higher-order functions over the
-    offset-sorted span list; separators are control chars outside the payload
-    alphabet (kernel.TABLE_SEP / MEDIA_SEP)."""
-    spans = admitted.select(
+    A document's spans are already co-located in its row, so per-page blobs
+    are built entirely JVM-side with higher-order functions over the
+    offset-sorted span list (no explode→groupBy round trip: that was a full
+    shuffle + sort of every span payload). Separators are control chars
+    outside the payload alphabet (kernel.TABLE_SEP / MEDIA_SEP).
+
+    ``salt_pages`` then hash-repartitions the *page rows* by
+    (doc_id, page) — the explicit skew salt of the north rule: a giant
+    document becomes many page rows spread across tasks before the
+    expensive kernel stage, instead of one straggler partition. This is the
+    pipeline's only data-sized exchange besides admission; disable for
+    corpora with bounded document sizes."""
+    sorted_spans = F.sort_array(
+        F.transform(
+            F.col("spans"),
+            lambda s: F.struct(
+                s["offset"].alias("offset"),
+                s["kind"].alias("kind"),
+                s["text"].alias("text"),
+            ),
+        )
+    )
+    def _page_of(offset):
+        return (offset / 1000).cast("int")
+
+    with_pages = admitted.select(
         "doc_id",
         "vendor",
-        F.explode("spans").alias("s"),
+        sorted_spans.alias("sp"),
     ).select(
         "doc_id",
         "vendor",
-        F.expr("s.offset div 1000").cast("int").alias("page"),
-        F.col("s.kind").alias("kind"),
-        F.col("s.text").alias("text"),
-        F.col("s.offset").alias("offset"),
-    )
-
-    grouped = spans.groupBy("doc_id", "vendor", "page").agg(
-        F.sort_array(F.collect_list(F.struct("offset", "kind", "text"))).alias("sp")
+        F.explode(
+            F.array_distinct(F.transform(F.col("sp"), lambda s: _page_of(s["offset"])))
+        ).alias("page"),
+        "sp",
     )
 
     def _texts_of(kind: str) -> F.Column:
         return F.transform(
-            F.filter(F.col("sp"), lambda x: x["kind"] == kind), lambda x: x["text"]
+            F.filter(
+                F.col("sp"),
+                lambda x: (x["kind"] == kind) & (_page_of(x["offset"]) == F.col("page")),
+            ),
+            lambda x: x["text"],
         )
 
-    return grouped.select(
+    pages = with_pages.select(
         "doc_id",
         "vendor",
         "page",
@@ -88,6 +110,16 @@ def page_frame(admitted: DataFrame) -> DataFrame:
         F.array_join(_texts_of("text"), " ").alias("text_raw"),
         F.array_join(_texts_of("media"), kernel.MEDIA_SEP).alias("media_blob"),
     )
+    if not salt_pages:
+        return pages
+    # Pin the exchange width: AQE's byte-based coalescing would shrink this
+    # stage to a handful of partitions (page blobs compress well), but the
+    # downstream cost is per-row Python in the kernel UDF, not bytes — a
+    # coalesced exchange serializes the pipeline's only expensive stage.
+    # 4x core count keeps every core busy with skew headroom.
+    spark = pages.sparkSession
+    width = spark.sparkContext.defaultParallelism * 4
+    return pages.repartition(width, "doc_id", "page")
 
 
 def page_entries_frame(pages: DataFrame) -> DataFrame:
@@ -109,9 +141,15 @@ def page_entries_frame(pages: DataFrame) -> DataFrame:
 
 
 def entries_frame(page_entries: DataFrame) -> DataFrame:
-    """Fan-out (R8), entry hash (H1), first-wins intra-doc dedup (H2 — an
-    explicit ordering window, never bare dropDuplicates), sequencing, and the
-    sanitized per-entry artifact name (H4)."""
+    """Fan-out (R8), entry hash (H1), first-wins intra-doc dedup (H2), doc
+    sequencing, and the sanitized per-entry artifact name (H4).
+
+    Dedup + rank need deterministic (page, entry_idx) order within each doc.
+    Instead of two window shuffles (partitionBy (doc_id, hash) then doc_id),
+    a single groupBy(doc_id) collects the doc's entries — a few rows of
+    short strings per doc, tiny vs the input spans — and an in-row
+    ``aggregate`` keeps the first occurrence of each hash in sorted order
+    (O(n²) per doc with n = entries/doc, bounded by the per-page caps)."""
     fan = page_entries.select(
         "doc_id",
         "vendor",
@@ -135,15 +173,41 @@ def entries_frame(page_entries: DataFrame) -> DataFrame:
         F.md5(F.concat_ws("|", F.col("vendor"), F.col("plate"), F.col("heat"), F.col("cert"))),
     )
 
-    w_dedup = Window.partitionBy("doc_id", "entry_hash").orderBy("page", "entry_idx")
-    deduped = (
-        hashed.withColumn("_rn", F.row_number().over(w_dedup))
-        .where(F.col("_rn") == 1)
-        .drop("_rn")
+    per_doc = hashed.groupBy("doc_id", "vendor").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    "page", "entry_idx", "used_ocr", "plate", "heat", "cert",
+                    "quality", "entry_hash",
+                )
+            )
+        ).alias("es")
     )
-
-    w_order = Window.partitionBy("doc_id").orderBy("page", "entry_idx")
-    ordered = deduped.withColumn("entry_rank", F.row_number().over(w_order))
+    # slice(es, 1, 0) = a correctly-typed empty accumulator for aggregate().
+    deduped_arr = F.expr(
+        "aggregate(es, slice(es, 1, 0), (acc, x) -> "
+        "if(exists(acc, y -> y.entry_hash = x.entry_hash), acc, array_append(acc, x)))"
+    )
+    ordered = (
+        per_doc.select(
+            "doc_id",
+            "vendor",
+            F.posexplode(deduped_arr).alias("pos", "e"),
+        )
+        .select(
+            "doc_id",
+            "vendor",
+            F.col("e.page").alias("page"),
+            F.col("e.used_ocr").alias("used_ocr"),
+            F.col("e.entry_idx").alias("entry_idx"),
+            F.col("e.plate").alias("plate"),
+            F.col("e.heat").alias("heat"),
+            F.col("e.cert").alias("cert"),
+            F.col("e.quality").alias("quality"),
+            F.col("e.entry_hash").alias("entry_hash"),
+            (F.col("pos") + 1).cast("int").alias("entry_rank"),
+        )
+    )
 
     def _part(c):
         # extractor.py:206-212: '/', '\' → '-'; '\n', '\r' → ' '; strip.
