@@ -444,13 +444,8 @@ def write_corpus_parquet(path: str, n_docs: int, seed: int = 42) -> str:
     return path
 
 
-def spark_gen_corpus(spark, n_docs: int, seed: int = 42, partitions: int | None = None):
-    """Distributed generator: spark.range(n) → mapInPandas building the rows.
-
-    This is how a benchmark-scale corpus is produced without funnelling
-    through the driver; each task generates its index range independently
-    (documents are pure functions of (seed, index))."""
-    import pandas as pd
+def spark_schema():
+    """The documents-table schema as a Spark StructType (input contract)."""
     from pyspark.sql.types import (
         ArrayType,
         IntegerType,
@@ -459,7 +454,7 @@ def spark_gen_corpus(spark, n_docs: int, seed: int = 42, partitions: int | None 
         StructType,
     )
 
-    schema = StructType(
+    return StructType(
         [
             StructField("doc_id", StringType()),
             StructField("vendor", StringType()),
@@ -479,6 +474,17 @@ def spark_gen_corpus(spark, n_docs: int, seed: int = 42, partitions: int | None 
             ),
         ]
     )
+
+
+def spark_gen_corpus(spark, n_docs: int, seed: int = 42, partitions: int | None = None):
+    """Distributed generator: spark.range(n) → mapInPandas building the rows.
+
+    This is how a benchmark-scale corpus is produced without funnelling
+    through the driver; each task generates its index range independently
+    (documents are pure functions of (seed, index))."""
+    import pandas as pd
+
+    schema = spark_schema()
 
     def build(batches):
         for pdf in batches:

@@ -26,8 +26,20 @@ def get_spark(
         is sized by AQE advisory partition bytes instead.
     """
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "0") or os.cpu_count() or 4)
+    # SPARK_GRAFT_MASTER overrides the master, e.g. "local-cluster[4,4,6144]"
+    # (separate executor *processes* — the faithful stand-in for a
+    # multi-executor cluster, and the mode the scaling bench uses: this
+    # sandbox's kernel serializes page faults per process, so a single
+    # 32-thread JVM cannot scale past ~8 threads no matter the plan).
+    master = os.environ.get("SPARK_GRAFT_MASTER") or f"local[{cores}]"
+    if master.startswith("local-cluster") and "SPARK_HOME" not in os.environ:
+        import pyspark
+
+        os.environ["SPARK_HOME"] = pyspark.__path__[0]
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     builder = (
-        SparkSession.builder.master(f"local[{cores}]")
+        SparkSession.builder.master(master)
+        .config("spark.executorEnv.PYTHONPATH", repo_root)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or max(8, cores * 2)))
         .config("spark.sql.adaptive.enabled", "true")
