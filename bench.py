@@ -41,8 +41,17 @@ def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def bench_pipeline(spark, sf: float, cache_dir: str, runs: int = 3) -> tuple[float, int]:
-    """Time the full extraction pipeline; returns (median seconds, n_docs).
+PIPELINE_OUTPUTS = ("extracted_spans", "extracted", "doc_stats")
+
+
+def bench_pipeline(spark, sf: float, cache_dir: str, runs: int = 3) -> tuple[dict, int]:
+    """Time the extraction job; returns ({query: median seconds}, n_docs).
+
+    ``extract_pipeline`` covers the per-document extraction job proper
+    (ordered output spans + unpivoted field rows + per-doc stats — what the
+    reference's tasks.py persists per document); ``report_master_log`` is
+    the corpus-wide report the reference regenerated per upload and we run
+    on demand (SURVEY.md §4), timed separately.
 
     One untimed warmup run first: the cold first action pays one-off session
     costs (Python worker spawn, whole-stage codegen JIT) that a long-running
@@ -54,18 +63,22 @@ def bench_pipeline(spark, sf: float, cache_dir: str, runs: int = 3) -> tuple[flo
         corpus.spark_gen_corpus(spark, n_docs).write.mode("overwrite").parquet(path)
     docs = spark.read.parquet(path)
 
-    def one_run() -> float:
+    def one_run() -> tuple[float, float]:
         t0 = time.perf_counter()
         out = run_pipeline(spark, docs)
-        for df in out.values():
-            _materialize(df)
+        for name in PIPELINE_OUTPUTS:
+            _materialize(out[name])
+        t1 = time.perf_counter()
+        _materialize(out["master_log"])
+        t2 = time.perf_counter()
         # unpersist so the next run (same logical plans) cannot hit the cache
         spark.catalog.clearCache()
-        return time.perf_counter() - t0
+        return t1 - t0, t2 - t1
 
     one_run()  # warmup
     times = sorted(one_run() for _ in range(runs))
-    return times[len(times) // 2], n_docs
+    mid = times[len(times) // 2]
+    return {"extract_pipeline": round(mid[0], 3), "report_master_log": round(mid[1], 3)}, n_docs
 
 
 def main() -> None:
@@ -85,8 +98,8 @@ def main() -> None:
     n_docs = 0
 
     if wanted is None or "extract_pipeline" in wanted:
-        sec, n_docs = bench_pipeline(spark, sf, cache_dir)
-        queries["extract_pipeline"] = round(sec, 3)
+        pipe_times, n_docs = bench_pipeline(spark, sf, cache_dir)
+        queries.update(pipe_times)
 
     for name, (fn, _sql) in ANALYTIC_QUERIES.items():
         if wanted is not None and name not in wanted:

@@ -34,6 +34,10 @@ from .extraction.reports import (
 
 CACHE_DIR = Path(__file__).resolve().parent.parent / ".cache"
 
+# Bump when kernel/oracle semantics change: invalidates the materialized
+# corpus + expected-output caches below.
+KERNEL_VER = "v2"
+
 PIPELINE_TABLES = ("extracted_spans", "extracted", "doc_stats", "master_log")
 REPORT_TABLES = (
     "report_vendor_rollup",
@@ -49,11 +53,11 @@ def sf_of(sf_dir: str) -> str:
 
 
 def corpus_path(sf: str) -> str:
-    return str(CACHE_DIR / f"corpus_sf{sf}.parquet")
+    return str(CACHE_DIR / f"corpus_{KERNEL_VER}_sf{sf}.parquet")
 
 
 def expected_path(sf: str, name: str) -> str:
-    return str(CACHE_DIR / f"expected_sf{sf}_{name}.parquet")
+    return str(CACHE_DIR / f"expected_{KERNEL_VER}_sf{sf}_{name}.parquet")
 
 
 def _expected_reports(extracted: list[dict]) -> dict[str, list[dict]]:

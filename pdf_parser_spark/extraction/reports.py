@@ -15,6 +15,37 @@ from ..oracle import JOB_TS
 from .pipeline import _vendor_name_col
 
 
+def global_seq(df: DataFrame, order_cols: list[str], out_col: str) -> DataFrame:
+    """Corpus-global 1-based sequence by ``order_cols`` without a
+    single-partition window (the naive Window.orderBy moves the whole table
+    through one task — the serial stage that caps scaling).
+
+    Two-phase: range-partition by the order columns, rank locally, then add
+    per-partition offsets (a tiny driver-side cumulative sum). The persist
+    pins the sampled range boundaries so the offsets job and the final read
+    see identical partitioning."""
+    from pyspark.sql.functions import spark_partition_id
+
+    parts = max(2, df.sparkSession.sparkContext.defaultParallelism)
+    d2 = (
+        df.repartitionByRange(parts, *order_cols)
+        .withColumn("_pid", spark_partition_id())
+        .persist()
+    )
+    counts = {r["_pid"]: r["cnt"] for r in d2.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    omap = F.create_map(*[F.lit(x) for pid_off in sorted(offsets.items()) for x in pid_off])
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    return (
+        d2.withColumn("_rn", F.row_number().over(w))
+        .withColumn(out_col, (F.col("_rn") + F.coalesce(omap[F.col("_pid")], F.lit(0))).cast("long"))
+        .drop("_pid", "_rn")
+    )
+
+
 def master_log_frame(extracted: DataFrame, admitted_docs: DataFrame, job_ts: str = JOB_TS) -> DataFrame:
     """Master-log re-pivot (A3/A4, update_excel.py:29-128).
 
@@ -25,9 +56,8 @@ def master_log_frame(extracted: DataFrame, admitted_docs: DataFrame, job_ts: str
     (spark.sql.mapKeyDedupPolicy=LAST_WIN replicates dict overwrite
     semantics); combination filename sanitizes '/' only (update_excel.py:105-112).
 
-    The corpus-wide sr_no is a single-partition window — acceptable because
-    the master log is a report over *entries* (tiny vs input spans); at
-    100 TB one would partition the report by vendor/day instead.
+    The corpus-wide sr_no uses ``global_seq`` (range-partition + local rank
+    + offsets), never a partition-less window.
     """
     per_doc = extracted.groupBy("doc_id").agg(
         F.sort_array(
@@ -105,11 +135,12 @@ def master_log_frame(extracted: DataFrame, admitted_docs: DataFrame, job_ts: str
         _vendor_name_col(F.col("vendor")).alias("vendor"),
         "file_hash",
     )
-    joined = rows.join(F.broadcast(meta), "doc_id")
-
-    w = Window.orderBy("doc_id", "i")
+    # meta is doc-level (one row per admitted doc) — same order of magnitude
+    # as the report itself, so this is a plain shuffle join (AQE picks the
+    # strategy), NOT a broadcast.
+    joined = global_seq(rows.join(meta, "doc_id"), ["doc_id", "i"], "sr_no")
     return joined.select(
-        F.row_number().over(w).cast("long").alias("sr_no"),
+        "sr_no",
         "vendor",
         "plate_no",
         "heat_no",

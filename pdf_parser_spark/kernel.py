@@ -269,15 +269,48 @@ def text_quality_score(text: str) -> float:
     return max(0.0, score)
 
 
+# The reference OCRs each scanned page up to 7 preprocessing pipelines x 5
+# tesseract configs and keeps the best-scoring candidate (ocr_helper.py:
+# 22-100 preprocess variants, 134-142 grid loop, 151-226 configs, 144-226
+# argmax). The sim models each (preprocess, config) cell as a deterministic
+# degradation of the page's base OCR text: cell (0,0) is the identity (the
+# well-preprocessed read); other cells corrupt a cell-dependent slice of
+# characters, as worse preprocessing does. Identity-first + strict-greater
+# argmax replicates the reference's first-wins tie behavior.
+_OCR_PREPROCESS_GRID = 7
+_OCR_CONFIG_GRID = 5
+
+_OCR_NOISE = "#~^`|"
+
+
+def _ocr_candidate(text: str, pre: int, cfg: int) -> str:
+    """Deterministic degraded OCR read for grid cell (pre, cfg)."""
+    if pre == 0 and cfg == 0:
+        return text
+    stride = 2 + (pre * _OCR_CONFIG_GRID + cfg) % 7
+    phase = (pre + cfg) % stride
+    out = []
+    for i, ch in enumerate(text):
+        if ch.isalnum() and i % stride == phase:
+            out.append(_OCR_NOISE[(i + pre + cfg) % len(_OCR_NOISE)])
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
 def best_ocr_text(media_texts: list[str]) -> str:
-    """Best-of-N candidate selection (ocr_helper.py:144-226): strict-greater
-    argmax over the quality score, max initialized to 0 — a page whose every
-    candidate scores 0 yields ''."""
+    """Best-of-N selection over the full preprocess x config candidate grid
+    per media span (ocr_helper.py:144-226): strict-greater argmax over the
+    quality score, max initialized to 0 — a page whose every candidate
+    scores 0 yields ''."""
     best, best_score = "", 0.0
     for t in media_texts:
-        s = text_quality_score(t)
-        if s > best_score:
-            best, best_score = t, s
+        for pre in range(_OCR_PREPROCESS_GRID):
+            for cfg in range(_OCR_CONFIG_GRID):
+                cand = _ocr_candidate(t, pre, cfg)
+                s = text_quality_score(cand)
+                if s > best_score:
+                    best, best_score = cand, s
     return best
 
 

@@ -22,8 +22,16 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def run_level(cpus: int, sf: float) -> dict:
+    """One parallelism level = cpus/4 executor *processes* x 4 cores via
+    local-cluster. Separate processes are the faithful stand-in for cluster
+    executors — and unavoidable here: this sandbox's kernel serializes page
+    faults per process (mmap_lock), so one 32-thread JVM plateaus at ~8
+    threads regardless of the query plan (see BENCH.md)."""
+    n_exec = max(1, cpus // 4)
     env = dict(
         os.environ,
+        SPARK_GRAFT_MASTER=f"local-cluster[{n_exec},4,12288]",
+        SPARK_GRAFT_LOCAL_DIR="/dev/shm/sparktmp",
         SPARK_GRAFT_CPUS=str(cpus),
         SPARK_GRAFT_SF_DIR=f"/root/testdata/sf{sf}",
         SPARK_GRAFT_QUERIES="extract_pipeline",
@@ -34,8 +42,10 @@ def run_level(cpus: int, sf: float) -> dict:
         capture_output=True,
         text=True,
         cwd=REPO,
-        check=True,
     )
+    if out.returncode != 0:
+        sys.stderr.write(out.stderr[-4000:])
+        raise SystemExit(f"bench.py failed at {cpus} cores (rc={out.returncode})")
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     return json.loads(line)
 
@@ -56,8 +66,8 @@ def main() -> None:
         "sf": args.sf,
         "n_docs": small["n_docs"],
         "levels": {
-            f"local[{args.n}]": {"sec": small["queries"]["extract_pipeline"], "docs_per_sec": thr_s},
-            f"local[{args.n * 4}]": {"sec": large["queries"]["extract_pipeline"], "docs_per_sec": thr_l},
+            f"{args.n} cores ({max(1, args.n // 4)} executors x 4)": {"sec": small["queries"]["extract_pipeline"], "docs_per_sec": thr_s},
+            f"{args.n * 4} cores ({args.n} executors x 4)": {"sec": large["queries"]["extract_pipeline"], "docs_per_sec": thr_l},
         },
         "scaling_efficiency": round(eff, 3),
         "pass": eff >= 0.8,
@@ -72,18 +82,23 @@ sf={args.sf} ({small['n_docs']} docs), same input at two parallelism levels,
 fresh JVM per level, median of 3 timed runs after one warmup
 (`scripts/scaling_bench.py`).
 
-| level | wall (s) | throughput (docs/s) |
-|---|---|---|
-| local[{args.n}] (N) | {small['queries']['extract_pipeline']} | {thr_s} |
-| local[{args.n * 4}] (4N) | {large['queries']['extract_pipeline']} | {thr_l} |
+| level | executors | wall (s) | throughput (docs/s) |
+|---|---|---|---|
+| N = {args.n} cores | local-cluster[{max(1, args.n // 4)},4,12288] | {small['queries']['extract_pipeline']} | {thr_s} |
+| 4N = {args.n * 4} cores | local-cluster[{args.n},4,12288] | {large['queries']['extract_pipeline']} | {thr_l} |
 
 **Scaling efficiency N→4N: {eff:.3f}** (target ≥0.8 per BASELINE.json) —
 {"PASS" if eff >= 0.8 else "FAIL"}.
 
 The in-sandbox stand-in for the north rule's two-cluster-size criterion:
-local[k] scales executor *threads* in one JVM, which is strictly harsher
-than adding executor hosts (shared driver, GC, page cache, and memory
-bandwidth), so ≥0.8 here is conservative evidence for ≥0.8 across hosts.
+each level runs separate executor *processes* (local-cluster), the honest
+analogue of N vs 4N executors. Thread-scaling one JVM (plain local[k]) is
+not usable as scaling evidence on this machine: the kernel serializes page
+faults per process, so any 32-thread JVM plateaus at ~8 threads regardless
+of the query plan (measured: one process allocating+touching memory peaks
+at ~60 GB/s with 8 threads and drops to ~18 GB/s with 32, while separate
+processes reach ~276 GB/s aggregate). Executor processes sidestep that
+artifact exactly the way real cluster executors do.
 """
     with open(args.out, "w") as f:
         f.write(md)
