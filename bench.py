@@ -59,7 +59,8 @@ def bench_pipeline(spark, sf: float, cache_dir: str, runs: int = 3) -> tuple[dic
     not the pipeline."""
     n_docs = corpus.docs_for_sf(sf)
     path = os.path.join(cache_dir, f"bench_corpus_sf{sf}.parquet")
-    if not os.path.exists(path):
+    # _SUCCESS guards against half-written caches from a killed generation
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
         corpus.spark_gen_corpus(spark, n_docs).write.mode("overwrite").parquet(path)
     docs = spark.read.parquet(path)
 

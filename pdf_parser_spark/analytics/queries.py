@@ -930,6 +930,97 @@ WHERE round(list_sum([CAST(a.embedding[i + 1] AS DOUBLE) * CAST(b.embedding[i + 
 """
 
 
+def q_embedding_ivf_knn(spark, sf_dir):
+    """IVF-style ANN: coarse-quantize every vector to its nearest of K=8
+    centroids (deterministically sampled: vec_id < 8), queries probe the
+    nprobe=2 closest clusters and run exact top-5 only inside them — the
+    inverted-file search pattern (train→assign→probe) with the k-means step
+    replaced by deterministic sampling so the oracle can replay it. All
+    similarity = dot product rounded to 3dp before ranking, id tiebreaks."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", F.posexplode("embedding").alias("i", "v"))
+    cent = (
+        emb.where("vec_id < 8")
+        .select(F.col("vec_id").alias("cid"), F.posexplode("embedding").alias("ci", "cv"))
+    )
+    # dot(vector, centroid) for every pair — centroid side is tiny (K=8)
+    pair_dots = (
+        e.join(F.broadcast(cent), e.i == cent.ci)
+        .groupBy("vec_id", "cid")
+        .agg(F.round(F.sum(F.col("v").cast("double") * F.col("cv").cast("double")), 3).alias("dot"))
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("dot"), "cid")
+    assign = (
+        pair_dots.withColumn("rn", F.row_number().over(w_assign))
+        .where("rn = 1")
+        .select("vec_id", F.col("cid").alias("cluster"))
+    )
+    probes = (
+        pair_dots.where("vec_id < 3")
+        .withColumn("rn", F.row_number().over(w_assign))
+        .where("rn <= 2")
+        .select(F.col("vec_id").alias("qid"), F.col("cid").alias("cluster"))
+    )
+    # candidates: corpus vectors (vec_id >= 3) in a probed cluster
+    cand = assign.where("vec_id >= 3").join(probes, "cluster").select(
+        "qid", F.col("vec_id").alias("cid_vec")
+    )
+    q = emb.where("vec_id < 3").select(
+        F.col("vec_id").alias("qid"), F.posexplode("embedding").alias("qi", "qv")
+    )
+    c = emb.where("vec_id >= 3").select(
+        F.col("vec_id").alias("cid_vec"), F.posexplode("embedding").alias("ci2", "cv2")
+    )
+    dots = (
+        cand.join(q, "qid")
+        .join(c, (F.col("qi") == F.col("ci2")) & (cand.cid_vec == c.cid_vec))
+        .groupBy("qid", cand.cid_vec.alias("cand_id"))
+        .agg(F.round(F.sum(F.col("qv").cast("double") * F.col("cv2").cast("double")), 3).alias("dot"))
+    )
+    w_rank = Window.partitionBy("qid").orderBy(F.desc("dot"), "cand_id")
+    return (
+        dots.withColumn("rank", F.row_number().over(w_rank))
+        .where("rank <= 5")
+        .select("qid", "cand_id", "dot", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+SQL_EMBEDDING_IVF_KNN = """
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+     dots_c AS (
+       SELECT a.vec_id, b.vec_id AS cid,
+              round(list_sum([CAST(a.embedding[i + 1] AS DOUBLE) * CAST(b.embedding[i + 1] AS DOUBLE)
+                              for i in range(0, len(a.embedding))]), 3) AS dot
+       FROM e a JOIN e b ON b.vec_id < 8
+     ),
+     assign AS (
+       SELECT vec_id, cid AS cluster FROM (
+         SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn
+         FROM dots_c) WHERE rn = 1
+     ),
+     probes AS (
+       SELECT vec_id AS qid, cid AS cluster FROM (
+         SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn
+         FROM dots_c WHERE vec_id < 3) WHERE rn <= 2
+     ),
+     cand AS (
+       SELECT p.qid, a.vec_id AS cand_id
+       FROM assign a JOIN probes p ON a.cluster = p.cluster
+       WHERE a.vec_id >= 3
+     ),
+     scored AS (
+       SELECT c.qid, c.cand_id,
+              round(list_sum([CAST(q.embedding[i + 1] AS DOUBLE) * CAST(v.embedding[i + 1] AS DOUBLE)
+                              for i in range(0, len(q.embedding))]), 3) AS dot
+       FROM cand c JOIN e q ON q.vec_id = c.qid JOIN e v ON v.vec_id = c.cand_id
+     )
+SELECT qid, cand_id, dot, rank::BIGINT AS rank FROM (
+  SELECT qid, cand_id, dot,
+         row_number() OVER (PARTITION BY qid ORDER BY dot DESC, cand_id) AS rank
+  FROM scored) WHERE rank <= 5
+"""
+
+
 ANALYTIC_QUERIES: dict[str, tuple] = {
     "regex_token_extract": (q_regex_token_extract, SQL_REGEX_TOKEN_EXTRACT),
     "exact_dedup_md5": (q_exact_dedup_md5, SQL_EXACT_DEDUP_MD5),
@@ -958,4 +1049,5 @@ ANALYTIC_QUERIES: dict[str, tuple] = {
     "media_features": (q_media_features, SQL_MEDIA_FEATURES),
     "lang_id_ngram": (q_lang_id_ngram, SQL_LANG_ID_NGRAM),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
+    "embedding_ivf_knn": (q_embedding_ivf_knn, SQL_EMBEDDING_IVF_KNN),
 }

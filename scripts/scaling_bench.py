@@ -31,7 +31,7 @@ def run_level(cpus: int, sf: float) -> dict:
     env = dict(
         os.environ,
         SPARK_GRAFT_MASTER=f"local-cluster[{n_exec},4,12288]",
-        SPARK_GRAFT_LOCAL_DIR="/dev/shm/sparktmp",
+        SPARK_LOCAL_DIRS=os.environ.get("SPARK_GRAFT_SHUFFLE_DIR", "/tmp"),
         SPARK_GRAFT_CPUS=str(cpus),
         SPARK_GRAFT_SF_DIR=f"/root/testdata/sf{sf}",
         SPARK_GRAFT_QUERIES="extract_pipeline",
