@@ -32,10 +32,19 @@ def get_spark(
     # sandbox's kernel serializes page faults per process, so a single
     # 32-thread JVM cannot scale past ~8 threads no matter the plan).
     master = os.environ.get("SPARK_GRAFT_MASTER") or f"local[{cores}]"
-    if master.startswith("local-cluster") and "SPARK_HOME" not in os.environ:
-        import pyspark
+    executor_mem = None
+    if master.startswith("local-cluster"):
+        if "SPARK_HOME" not in os.environ:
+            import pyspark
 
-        os.environ["SPARK_HOME"] = pyspark.__path__[0]
+            os.environ["SPARK_HOME"] = pyspark.__path__[0]
+        # local-cluster[w,c,mem]: mem is WORKER capacity; executors still
+        # request spark.executor.memory (default 1g) unless set — size the
+        # executor to the worker so the heap matches the declared capacity.
+        try:
+            executor_mem = int(master.split(",")[2].rstrip("]").strip())
+        except (IndexError, ValueError):
+            executor_mem = None
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     builder = (
         SparkSession.builder.master(master)
@@ -53,6 +62,8 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    if executor_mem:
+        builder = builder.config("spark.executor.memory", f"{executor_mem}m")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -77,7 +77,8 @@ def main() -> None:
     md = f"""# BENCH — scaling evidence
 
 End-to-end extraction pipeline (documents → extracted_spans + extracted +
-doc_stats + master_log, all materialized) on the deterministic span corpus,
+doc_stats materialized; the corpus-wide master-log report is timed
+separately in bench.py) on the deterministic span corpus,
 sf={args.sf} ({small['n_docs']} docs), same input at two parallelism levels,
 fresh JVM per level, median of 3 timed runs after one warmup
 (`scripts/scaling_bench.py`).
