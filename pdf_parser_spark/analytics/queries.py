@@ -1021,6 +1021,195 @@ SELECT qid, cand_id, dot, rank::BIGINT AS rank FROM (
 """
 
 
+def q_cjk_pages(spark, sf_dir):
+    """P8 CJK/multilingual predicate (SURVEY.md §2.2; the reference's
+    detect_multilingual_content spec, extractor.py.bak:242-268) over the
+    engine's own span corpus — the hengrun docs carry genuine bilingual
+    certificate text. Counts CJK-bearing spans per doc + first offset."""
+    from .. import driver_contract as dc
+
+    sf = dc.sf_of(sf_dir)
+    dc.ensure_corpus(sf)
+    docs = spark.read.parquet(dc.corpus_path(sf))
+    spans = docs.select("doc_id", F.explode("spans").alias("s"))
+    return (
+        spans.where(F.col("s.text").rlike("[\\u4e00-\\u9fff]"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("cjk_spans"),
+            F.min(F.col("s.offset")).cast("long").alias("first_cjk_offset"),
+        )
+    )
+
+
+def _sql_cjk_pages(sf: str) -> str:
+    from .. import driver_contract as dc
+
+    dc.ensure_corpus(sf)
+    return f"""
+SELECT doc_id, count(*)::BIGINT AS cjk_spans,
+       min(u.s.offset)::BIGINT AS first_cjk_offset
+FROM (SELECT doc_id, unnest(spans) AS s
+      FROM read_parquet('{dc.corpus_path(sf)}')) u
+WHERE regexp_matches(u.s.text, '[\\x{{4e00}}-\\x{{9fff}}]')
+GROUP BY doc_id
+"""
+
+
+def q_source_rollup(spark, sf_dir):
+    """A10/S11 directory-status rollup shape (api_views.py:87-112): per
+    source, file count + total size + latest doc id."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+SQL_SOURCE_ROLLUP = """
+SELECT source, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS total_chars,
+       max(doc_id) AS max_doc_id
+FROM documents GROUP BY source
+"""
+
+
+def q_recent_top_events(spark, sf_dir):
+    """L1 recent-first top-k dashboard (views/core.py:29,71): 20 most recent
+    events, deterministic tiebreak on event_id."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.orderBy(F.desc("ts"), F.desc("event_id"))
+        .limit(20)
+        .select("event_id", "ts", "user_id", "event_type")
+    )
+
+
+SQL_RECENT_TOP_EVENTS = """
+SELECT event_id, ts, user_id, event_type
+FROM events ORDER BY ts DESC, event_id DESC LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# Layout/DOM heuristics (SURVEY.md §2.4 T5/T7; posco_table_parser.py
+# 195-230, 350-383): the reference reconstructs text lines from positioned
+# character streams and pairs plates to heats by y-proximity. Modeled over a
+# deterministic positioned-token table derived arithmetically from doc_id so
+# the DuckDB oracle replays it exactly.
+# --------------------------------------------------------------------------
+
+
+def _layout_tokens(spark, sf_dir):
+    """(doc_id, token, x, y): per doc, 5+doc_id%6 rows; a plate token at
+    x=50 and a heat token at x=200 whose y offset sweeps [-6, +6]."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id").where("doc_id < 200")
+    lines = docs.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), (F.col("doc_id") % 6 + 4).cast("int"))).alias("j")
+    )
+    y_base = F.round(F.lit(100.0) + F.col("j") * 12.5, 1)
+    dy = F.round(((F.col("doc_id") + F.col("j")) % 11 - 5) * 1.2, 1)
+    plate = F.struct(
+        F.concat(F.lit("PP"), F.col("doc_id"), F.lit("_"), F.col("j")).alias("token"),
+        F.lit(50.0).alias("x"),
+        y_base.alias("y"),
+        F.lit("plate").alias("kind"),
+    )
+    heat = F.struct(
+        F.concat(F.lit("SU30"), ((F.col("doc_id") * 7 + F.col("j")) % 900 + 100)).alias("token"),
+        F.lit(200.0).alias("x"),
+        F.round(y_base + dy, 1).alias("y"),
+        F.lit("heat").alias("kind"),
+    )
+    return lines.select("doc_id", "j", F.explode(F.array(plate, heat)).alias("t")).select(
+        "doc_id", "j", F.col("t.token").alias("token"), F.col("t.x").alias("x"),
+        F.col("t.y").alias("y"), F.col("t.kind").alias("kind"),
+    )
+
+
+_SQL_LAYOUT_TOKENS = """
+  SELECT doc_id, j, token, x, y, kind FROM (
+    SELECT doc_id, j,
+           'PP' || doc_id || '_' || j AS token, 50.0 AS x,
+           round(100.0 + j * 12.5, 1) AS y, 'plate' AS kind
+    FROM documents, UNNEST(range(0, doc_id % 6 + 5)) AS t(j) WHERE doc_id < 200
+    UNION ALL
+    SELECT doc_id, j,
+           'SU30' || ((doc_id * 7 + j) % 900 + 100) AS token, 200.0 AS x,
+           round(round(100.0 + j * 12.5, 1) + round(((doc_id + j) % 11 - 5) * 1.2, 1), 1) AS y,
+           'heat' AS kind
+    FROM documents, UNNEST(range(0, doc_id % 6 + 5)) AS t(j) WHERE doc_id < 200
+  )
+"""
+
+
+def q_layout_y_lines(spark, sf_dir):
+    """T5 y-position line reconstruction (posco_table_parser.py:195-230):
+    group tokens by round(y, 0 — whole-point rows here), order by x within
+    the line, concatenate to line text."""
+    toks = _layout_tokens(spark, sf_dir)
+    line_y = F.round(F.col("y"), 0).cast("long")
+    return toks.groupBy("doc_id", line_y.alias("line_y")).agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("x", "token"))),
+                lambda s: s["token"],
+            ),
+            " ",
+        ).alias("line_text"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )
+
+
+SQL_LAYOUT_Y_LINES = f"""
+WITH toks AS ({_SQL_LAYOUT_TOKENS})
+SELECT doc_id, CAST(round(y, 0) AS BIGINT) AS line_y,
+       string_agg(token, ' ' ORDER BY x, token) AS line_text,
+       count(*)::BIGINT AS n_tokens
+FROM toks GROUP BY doc_id, CAST(round(y, 0) AS BIGINT)
+"""
+
+
+def q_layout_nearest_heat(spark, sf_dir):
+    """T7/J5 y-tolerance nearest join (posco_table_parser.py:350-383): for
+    each plate token, the heat token on the same doc with |y_p - y_h| <= 5,
+    nearest first, deterministic tiebreak — a range join + rank window, the
+    distributed form of the reference's per-plate linear scan."""
+    toks = _layout_tokens(spark, sf_dir)
+    plates = toks.where("kind = 'plate'").select(
+        "doc_id", F.col("token").alias("plate"), F.col("y").alias("py")
+    )
+    heats = toks.where("kind = 'heat'").select(
+        F.col("doc_id").alias("hdoc"), F.col("token").alias("heat"), F.col("y").alias("hy")
+    )
+    joined = plates.join(
+        heats,
+        (plates.doc_id == heats.hdoc)
+        & (F.abs(F.col("py") - F.col("hy")) <= 5.0),
+    ).withColumn("dy", F.round(F.abs(F.col("py") - F.col("hy")), 1))
+    w = Window.partitionBy("doc_id", "plate").orderBy("dy", "heat")
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("doc_id", "plate", "heat", "dy")
+    )
+
+
+SQL_LAYOUT_NEAREST_HEAT = f"""
+WITH toks AS ({_SQL_LAYOUT_TOKENS}),
+     plates AS (SELECT doc_id, token AS plate, y AS py FROM toks WHERE kind = 'plate'),
+     heats AS (SELECT doc_id, token AS heat, y AS hy FROM toks WHERE kind = 'heat'),
+     joined AS (
+       SELECT p.doc_id, p.plate, h.heat, round(abs(p.py - h.hy), 1) AS dy
+       FROM plates p JOIN heats h ON p.doc_id = h.doc_id AND abs(p.py - h.hy) <= 5.0
+     )
+SELECT doc_id, plate, heat, dy FROM (
+  SELECT doc_id, plate, heat, dy,
+         row_number() OVER (PARTITION BY doc_id, plate ORDER BY dy, heat) AS rn
+  FROM joined) WHERE rn = 1
+"""
+
+
 ANALYTIC_QUERIES: dict[str, tuple] = {
     "regex_token_extract": (q_regex_token_extract, SQL_REGEX_TOKEN_EXTRACT),
     "exact_dedup_md5": (q_exact_dedup_md5, SQL_EXACT_DEDUP_MD5),
@@ -1050,4 +1239,10 @@ ANALYTIC_QUERIES: dict[str, tuple] = {
     "lang_id_ngram": (q_lang_id_ngram, SQL_LANG_ID_NGRAM),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "embedding_ivf_knn": (q_embedding_ivf_knn, SQL_EMBEDDING_IVF_KNN),
+    # sf-pinned to 0.01: the driver's DuckDB cross-check runs at sf0.01
+    "cjk_pages": (q_cjk_pages, _sql_cjk_pages("0.01")),
+    "source_rollup": (q_source_rollup, SQL_SOURCE_ROLLUP),
+    "recent_top_events": (q_recent_top_events, SQL_RECENT_TOP_EVENTS),
+    "layout_y_lines": (q_layout_y_lines, SQL_LAYOUT_Y_LINES),
+    "layout_nearest_heat": (q_layout_nearest_heat, SQL_LAYOUT_NEAREST_HEAT),
 }
