@@ -37,11 +37,16 @@ def global_seq(df: DataFrame, order_cols: list[str], out_col: str) -> DataFrame:
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
-    omap = F.create_map(*[F.lit(x) for pid_off in sorted(offsets.items()) for x in pid_off])
+    if offsets:
+        omap = F.create_map(*[F.lit(x) for pid_off in sorted(offsets.items()) for x in pid_off])
+        offset_expr = F.coalesce(omap[F.col("_pid")], F.lit(0))
+    else:
+        # empty input: a zero-arg create_map() fails analysis on lookup
+        offset_expr = F.lit(0)
     w = Window.partitionBy("_pid").orderBy(*order_cols)
     return (
         d2.withColumn("_rn", F.row_number().over(w))
-        .withColumn(out_col, (F.col("_rn") + F.coalesce(omap[F.col("_pid")], F.lit(0))).cast("long"))
+        .withColumn(out_col, (F.col("_rn") + offset_expr).cast("long"))
         .drop("_pid", "_rn")
     )
 
