@@ -254,15 +254,23 @@ _CERT_QUALITY_PATTERNS = (
 _QUALITY_OK_CHARS = set(" \n\r\t.,:-()[]{}/")
 
 
+_CERT_QUALITY_RX = [re.compile(p) for p in _CERT_QUALITY_PATTERNS]
+
+
 def text_quality_score(text: str) -> float:
-    """OCR candidate quality score (ocr_helper.py:232-276)."""
+    """OCR candidate quality score (ocr_helper.py:232-276). Counts use
+    C-speed primitives but are term-for-term identical to the reference
+    arithmetic: _QUALITY_OK_CHARS contains no alnum chars, so
+    noise = len - alnum - ok_chars."""
     if not text or not text.strip():
         return 0.0
+    alnum = sum(map(str.isalnum, text))
     score = len(text.strip()) * 0.1
-    score += sum(1 for c in text if c.isalnum()) * 0.5
-    for pattern in _CERT_QUALITY_PATTERNS:
-        score += len(re.findall(pattern, text)) * 2
-    score -= sum(1 for c in text if not c.isalnum() and c not in _QUALITY_OK_CHARS) * 0.1
+    score += alnum * 0.5
+    for rx in _CERT_QUALITY_RX:
+        score += len(rx.findall(text)) * 2
+    ok = sum(map(text.count, _QUALITY_OK_CHARS))
+    score -= (len(text) - alnum - ok) * 0.1
     lines = [ln.strip() for ln in text.split("\n") if ln.strip()]
     if 3 <= len(lines) <= 50:
         score += 5
@@ -302,12 +310,28 @@ def best_ocr_text(media_texts: list[str]) -> str:
     """Best-of-N selection over the full preprocess x config candidate grid
     per media span (ocr_helper.py:144-226): strict-greater argmax over the
     quality score, max initialized to 0 — a page whose every candidate
-    scores 0 yields ''."""
+    scores 0 yields ''.
+
+    Candidates are built from a per-text alnum mask shared across the 35
+    grid cells (identical output to _ocr_candidate; only the stride
+    positions are visited instead of every character)."""
     best, best_score = "", 0.0
     for t in media_texts:
+        base = list(t)
+        alnum = [c.isalnum() for c in t]
+        n = len(t)
         for pre in range(_OCR_PREPROCESS_GRID):
             for cfg in range(_OCR_CONFIG_GRID):
-                cand = _ocr_candidate(t, pre, cfg)
+                if pre == 0 and cfg == 0:
+                    cand = t
+                else:
+                    stride = 2 + (pre * _OCR_CONFIG_GRID + cfg) % 7
+                    out = base.copy()
+                    k = pre + cfg
+                    for i in range(k % stride, n, stride):
+                        if alnum[i]:
+                            out[i] = _OCR_NOISE[(i + k) % len(_OCR_NOISE)]
+                    cand = "".join(out)
                 s = text_quality_score(cand)
                 if s > best_score:
                     best, best_score = cand, s
