@@ -90,7 +90,14 @@ def main() -> None:
     only = os.environ.get("SPARK_GRAFT_QUERIES", "")
     wanted = set(only.split(",")) if only else None
 
-    spark = get_spark(cores=cpus, app_name=f"bench_sf{sf}")
+    # A single JVM cannot use more than ~16 threads on this machine (the
+    # kernel serializes page faults per process — measured in BENCH.md:
+    # local[16] runs this pipeline 2.6x faster than local[32]), so the
+    # local session is capped at 16 threads unless a master override is
+    # set. Multi-executor scaling uses SPARK_GRAFT_MASTER=local-cluster[...]
+    # (scripts/scaling_bench.py), where all requested cores are used.
+    session_cores = cpus if os.environ.get("SPARK_GRAFT_MASTER") else min(cpus, 16)
+    spark = get_spark(cores=session_cores, app_name=f"bench_sf{sf}")
     spark.sparkContext.setLogLevel("ERROR")
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache")
     os.makedirs(cache_dir, exist_ok=True)
@@ -117,6 +124,7 @@ def main() -> None:
         "queries": queries,
         "sf": sf,
         "cpus": cpus,
+        "session_cores": session_cores,
     }
     if n_docs and "extract_pipeline" in queries:
         result["docs_per_sec"] = round(n_docs / queries["extract_pipeline"], 2)

@@ -478,11 +478,24 @@ def q_minhash_band_candidates(spark, sf_dir):
     toks = docs.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
     )
-    sigs = (
-        toks.withColumn("band", F.explode(F.sequence(F.lit(0), F.lit(3))))
-        .groupBy("doc_id", "band")
-        .agg(F.min(F.md5(F.concat_ws(":", "token", "band"))).alias("sig"))
+    # One md5 per token; band b's hash = the b-th disjoint 8-hex-char slice
+    # (4 independent 32-bit minhashes for the price of one digest, and no
+    # 4x row explode before the aggregate).
+    h = F.md5("token")
+    grouped = toks.groupBy("doc_id").agg(
+        *[F.min(F.substring(h, b * 8 + 1, 8)).alias(f"s{b}") for b in range(4)]
     )
+    sigs = grouped.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"s{b}").alias("sig"))
+                    for b in range(4)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
     a = sigs.select(F.col("doc_id").alias("da"), "band", "sig")
     b = sigs.select(F.col("doc_id").alias("db"), F.col("band").alias("band_b"), F.col("sig").alias("sig_b"))
     pairs = a.join(b, (a.band == b.band_b) & (a.sig == b.sig_b) & (a.da < b.db))
@@ -493,7 +506,7 @@ def q_minhash_band_candidates(spark, sf_dir):
 
 SQL_MINHASH_BAND_CANDIDATES = """
 WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
-     sigs AS (SELECT doc_id, band, min(md5(token || ':' || band)) AS sig
+     sigs AS (SELECT doc_id, band, min(substr(md5(token), band * 8 + 1, 8)) AS sig
               FROM toks, (SELECT unnest(range(4)) AS band)
               GROUP BY doc_id, band),
      buckets AS (SELECT band, sig, count(*) AS c FROM sigs GROUP BY band, sig)
@@ -507,28 +520,23 @@ def q_simhash(spark, sf_dir):
     sum of ±1 votes from md5 hex-digit parity of each token occurrence."""
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    # All 16 bit votes as columns of one row (no 16x explode): vote_b is the
+    # parity of the b-th md5 hex digit; one groupBy sums them all at once.
+    h = F.md5("token")
     votes = toks.select(
         "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("pos"),
-        F.md5("token").alias("h"),
-    ).select(
-        "doc_id",
-        "pos",
-        F.when(F.ascii(F.expr("substring(h, pos + 1, 1)")) % 2 == 1, F.lit(1))
-        .otherwise(F.lit(-1))
-        .alias("vote"),
+        *[
+            F.when(F.ascii(F.substring(h, b + 1, 1)) % 2 == 1, F.lit(1))
+            .otherwise(F.lit(-1))
+            .alias(f"v{b}")
+            for b in range(16)
+        ],
     )
-    bits = votes.groupBy("doc_id", "pos").agg(
-        F.when(F.sum("vote") >= 0, F.lit("1")).otherwise(F.lit("0")).alias("bit")
+    sums = votes.groupBy("doc_id").agg(
+        *[F.sum(f"v{b}").alias(f"v{b}") for b in range(16)]
     )
-    return bits.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("pos", "bit"))), lambda x: x["bit"]
-            ),
-            "",
-        ).alias("simhash")
-    )
+    bit = lambda b: F.when(F.col(f"v{b}") >= 0, F.lit("1")).otherwise(F.lit("0"))
+    return sums.select("doc_id", F.concat(*[bit(b) for b in range(16)]).alias("simhash"))
 
 
 SQL_SIMHASH = """
