@@ -32,22 +32,21 @@ def global_seq(df: DataFrame, order_cols: list[str], out_col: str) -> DataFrame:
         .withColumn("_pid", spark_partition_id())
         .persist()
     )
-    counts = {r["_pid"]: r["cnt"] for r in d2.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()}
-    offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    if offsets:
-        omap = F.create_map(*[F.lit(x) for pid_off in sorted(offsets.items()) for x in pid_off])
-        offset_expr = F.coalesce(omap[F.col("_pid")], F.lit(0))
-    else:
-        # empty input: a zero-arg create_map() fails analysis on lookup
-        offset_expr = F.lit(0)
+    # Per-partition offsets computed AS A PLAN (no driver collect — keeps
+    # report construction lazy): cumulative sum over the tiny per-partition
+    # count table, broadcast back onto the rows. The single-partition window
+    # here sorts ~`parts` rows, not data.
+    counts = d2.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off")
+    )
     w = Window.partitionBy("_pid").orderBy(*order_cols)
     return (
         d2.withColumn("_rn", F.row_number().over(w))
-        .withColumn(out_col, (F.col("_rn") + offset_expr).cast("long"))
-        .drop("_pid", "_rn")
+        .join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, (F.col("_rn") + F.col("_off")).cast("long"))
+        .drop("_pid", "_rn", "_off")
     )
 
 
@@ -76,18 +75,30 @@ def master_log_frame(extracted: DataFrame, admitted_docs: DataFrame, job_ts: str
             lambda x: x["field_value"],
         )
 
-    per_doc = per_doc.select(
-        "doc_id",
-        _vals("PLATE_NO").alias("plates"),
-        _vals("HEAT_NO").alias("heats"),
-        _vals("TEST_CERT_NO").alias("certs"),
-        F.map_from_entries(
+    per_doc = per_doc.withColumn(
+        "kv_rev",
+        F.reverse(
             F.transform(
                 F.col("es"),
                 lambda x: F.struct(
                     F.concat_ws("_", x["field_key"], x["field_value"]).alias("k"),
                     x["page_number"].alias("v"),
                 ),
+            )
+        ),
+    ).select(
+        "doc_id",
+        _vals("PLATE_NO").alias("plates"),
+        _vals("HEAT_NO").alias("heats"),
+        _vals("TEST_CERT_NO").alias("certs"),
+        # Last-write-wins built explicitly (reverse + first-occurrence
+        # keep), NOT via spark.sql.mapKeyDedupPolicy — the report must not
+        # depend on session configuration (the driver's smoke session is
+        # vanilla).
+        F.map_from_entries(
+            F.expr(
+                "aggregate(kv_rev, slice(kv_rev, 1, 0), (acc, x) -> "
+                "if(exists(acc, y -> y.k = x.k), acc, array_append(acc, x)))"
             )
         ).alias("page_map"),
     )
