@@ -39,6 +39,7 @@ CACHE_DIR = Path(__file__).resolve().parent.parent / ".cache"
 KERNEL_VER = "v2"
 
 PIPELINE_TABLES = ("extracted_spans", "extracted", "doc_stats", "master_log")
+STRATEGY_TABLES = ("posco_multi_strategy",)
 REPORT_TABLES = (
     "report_vendor_rollup",
     "report_first_value",
@@ -107,7 +108,7 @@ def ensure_corpus(sf: str) -> None:
     """Generate (once) the span corpus and the oracle's expected outputs."""
     CACHE_DIR.mkdir(exist_ok=True)
     paths = [corpus_path(sf)] + [
-        expected_path(sf, n) for n in PIPELINE_TABLES + REPORT_TABLES
+        expected_path(sf, n) for n in PIPELINE_TABLES + REPORT_TABLES + STRATEGY_TABLES
     ]
     if all(os.path.exists(p) for p in paths):
         return
@@ -121,7 +122,11 @@ def ensure_corpus(sf: str) -> None:
 
     out = oracle.corpus_outputs(docs)
     out.update(_expected_reports(out["extracted"]))
-    for name in PIPELINE_TABLES + REPORT_TABLES:
+
+    from . import posco_strategy
+
+    out["posco_multi_strategy"] = posco_strategy.py_extract(docs)
+    for name in PIPELINE_TABLES + REPORT_TABLES + STRATEGY_TABLES:
         pd.DataFrame(out[name]).to_parquet(expected_path(sf, name), index=False)
 
 
@@ -154,6 +159,10 @@ def pipeline_outputs(spark, sf_dir: str) -> dict[str, DataFrame]:
         out["report_first_value"] = first_value_per_field(extracted)
         out["report_page_summary"] = page_summary(extracted)
         out["report_dashboard_counters"] = dashboard_counters(extracted)
+
+        from . import posco_strategy
+
+        out["posco_multi_strategy"] = posco_strategy.spark_extract(docs)
         _PIPELINE_CACHE[key] = {k: _longify(v) for k, v in out.items()}
     return _PIPELINE_CACHE[key]
 
@@ -166,7 +175,7 @@ def pipeline_query_fns() -> dict:
         return fn
 
     return {f"extract_{n}" if not n.startswith("report_") else n: make(n)
-            for n in PIPELINE_TABLES + REPORT_TABLES}
+            for n in PIPELINE_TABLES + REPORT_TABLES + STRATEGY_TABLES}
 
 
 def pipeline_oracle_sql(sf: str = "0.01") -> dict[str, str]:
@@ -174,7 +183,7 @@ def pipeline_oracle_sql(sf: str = "0.01") -> dict[str, str]:
     The driver's correctness pass runs at sf=0.01 (TESTDATA.md)."""
     ensure_corpus(sf)
     out = {}
-    for n in PIPELINE_TABLES + REPORT_TABLES:
+    for n in PIPELINE_TABLES + REPORT_TABLES + STRATEGY_TABLES:
         key = f"extract_{n}" if not n.startswith("report_") else n
         out[key] = f"SELECT * FROM read_parquet('{expected_path(sf, n)}')"
     return out
