@@ -93,3 +93,26 @@ def test_random_corpus_spark_equals_oracle(spark, tmp_path_factory, docs):
         pd.testing.assert_frame_equal(
             got_spans.astype(str), want_spans.astype(str), check_dtype=False
         )
+
+    # POSCO multi-strategy path: Spark HOF form vs its pure-Python spec on
+    # the same random docs.
+    from pdf_parser_spark import posco_strategy as PS
+
+    cols = ["doc_id", "page_number", "pair_seq", "plate_no", "heat_no", "test_cert_no"]
+    got_ps = (
+        PS.spark_extract(spark.read.parquet(path))
+        .toPandas()[cols]
+        .sort_values(cols)
+        .reset_index(drop=True)
+    )
+    want_ps = (
+        pd.DataFrame(PS.py_extract(docs), columns=cols)
+        .sort_values(cols)
+        .reset_index(drop=True)
+    )
+    if want_ps.empty:
+        assert got_ps.empty
+    else:
+        pd.testing.assert_frame_equal(
+            got_ps.astype(str), want_ps.astype(str), check_dtype=False
+        )
