@@ -1218,6 +1218,39 @@ SELECT doc_id, plate, heat, dy FROM (
 """
 
 
+def q_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: lineitem ⋈ broadcast(part), conditional aggregate —
+    revenue share of ECONOMY-type parts per part brand. Revenue per row is
+    rounded BEFORE the sum (identical arithmetic both engines)."""
+    li = _t(spark, sf_dir, "lineitem").where("l_shipdate >= date'1995-01-01'")
+    part = _t(spark, sf_dir, "part")
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return (
+        joined.groupBy("p_brand")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("p_type") == "ECONOMY", rev).otherwise(F.lit(0.0))), 2
+            ).alias("promo_revenue"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+SQL_PROMO_REVENUE = """
+SELECT p_brand,
+       round(sum(CASE WHEN p_type = 'ECONOMY'
+                      THEN round(l_extendedprice * (1 - l_discount), 4)
+                      ELSE 0.0 END), 2) AS promo_revenue,
+       round(sum(round(l_extendedprice * (1 - l_discount), 4)), 2) AS total_revenue,
+       count(*)::BIGINT AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= DATE '1995-01-01'
+GROUP BY p_brand
+"""
+
+
 ANALYTIC_QUERIES: dict[str, tuple] = {
     "regex_token_extract": (q_regex_token_extract, SQL_REGEX_TOKEN_EXTRACT),
     "exact_dedup_md5": (q_exact_dedup_md5, SQL_EXACT_DEDUP_MD5),
@@ -1253,4 +1286,5 @@ ANALYTIC_QUERIES: dict[str, tuple] = {
     "recent_top_events": (q_recent_top_events, SQL_RECENT_TOP_EVENTS),
     "layout_y_lines": (q_layout_y_lines, SQL_LAYOUT_Y_LINES),
     "layout_nearest_heat": (q_layout_nearest_heat, SQL_LAYOUT_NEAREST_HEAT),
+    "promo_revenue": (q_promo_revenue, SQL_PROMO_REVENUE),
 }
