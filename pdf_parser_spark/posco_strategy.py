@@ -455,10 +455,15 @@ def spark_extract(docs: DataFrame) -> DataFrame:
         )
         .withColumn(
             "pairs",
+            # T9 dedup + cap 20 applies only past the early returns in the
+            # reference (_align: plates-empty → [] and heats-empty →
+            # plates[:10] both return BEFORE dedup, posco_table_parser.py
+            # :286-294) — duplicates in the N/A branch must be preserved.
             F.expr(
-                "slice(aggregate(pairs, cast(array() AS array<struct<pl:string, ht:string>>), "
+                "CASE WHEN size(all_plates) = 0 OR size(all_heats) = 0 THEN pairs "
+                "ELSE slice(aggregate(pairs, cast(array() AS array<struct<pl:string, ht:string>>), "
                 "(acc, x) -> IF(exists(acc, y -> y.pl = x.pl AND y.ht = x.ht), acc, "
-                "array_append(acc, x))), 1, 20)"
+                "array_append(acc, x))), 1, 20) END"
             ),
         )
     )

@@ -58,6 +58,32 @@ def test_align_dedup_and_cap_20():
     assert len(pairs) == 20  # cap
 
 
+def test_plates_only_branch_preserves_duplicates(spark, tmp_path):
+    """Regression (round-1 advice): the plates-without-heats early return
+    (posco_table_parser.py:286-294) happens BEFORE the T9 dedup — a repeated
+    plate with no heat must yield one row per occurrence in BOTH impls."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    doc = {
+        "doc_id": "dup0",
+        "vendor": "posco",
+        "file_hash": "h-dup",
+        "spans": [
+            {"kind": "text", "text": "24LP0180A1", "media_ref": "", "offset": 0},
+            {"kind": "text", "text": "24LP0180A1", "media_ref": "", "offset": 1},
+        ],
+    }
+    want = pd.DataFrame(PS.py_extract([doc]), columns=COLS)
+    assert len(want) == 2 and set(want["heat_no"]) == {"N/A"}
+    path = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.Table.from_pylist([doc], schema=corpus.arrow_schema()), path)
+    got = PS.spark_extract(spark.read.parquet(path)).toPandas()[COLS]
+    g = got.sort_values(COLS).reset_index(drop=True).astype(str)
+    e = want.sort_values(COLS).reset_index(drop=True).astype(str)
+    pd.testing.assert_frame_equal(g, e, check_dtype=False)
+
+
 def test_cert_page_outer_pattern_inner():
     pages = {
         0: {"tables": [], "texts": ["no cert here"]},
