@@ -38,8 +38,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    out = dict(driver_contract.pipeline_oracle_sql("0.01"))
+    """The driver's correctness pass runs at sf=0.01 (TESTDATA.md); lazy
+    (callable) oracle entries are resolved with that sf here, at call time,
+    so importing the analytics package stays side-effect-free."""
+    correctness_sf = "0.01"
+    out = dict(driver_contract.pipeline_oracle_sql(correctness_sf))
     for name, (_fn, sql) in ANALYTIC_QUERIES.items():
         if sql is not None:
-            out[name] = sql
+            out[name] = sql if isinstance(sql, str) else sql(correctness_sf)
     return out

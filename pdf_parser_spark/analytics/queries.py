@@ -344,7 +344,10 @@ FROM events GROUP BY 1, 2, 3, 4
 
 def q_range_join_nearest(spark, sf_dir):
     """J5/T7 tolerance range join + nearest-wins window: for each error
-    event, the nearest click by the same user within 60 s."""
+    event, the nearest click by the same user within 1 h. (Round-1 used a
+    60 s window which matched zero pairs in the driver testdata — a
+    vacuously-green query; 3600 s yields rows at sf0.01 and sf0.1 so the
+    join + rank logic is actually evidenced.)"""
     ev = _t(spark, sf_dir, "events")
     err = ev.where(F.col("event_type") == "error").select(
         F.col("event_id").alias("error_id"),
@@ -358,7 +361,7 @@ def q_range_join_nearest(spark, sf_dir):
     )
     joined = err.join(
         clk,
-        (err.u == clk.cu) & (F.abs(err.et - clk.ct) <= 60),
+        (err.u == clk.cu) & (F.abs(err.et - clk.ct) <= 3600),
     ).select("error_id", "click_id", F.abs(F.col("et") - F.col("ct")).alias("diff"))
     w = Window.partitionBy("error_id").orderBy("diff", "click_id")
     return joined.withColumn("_rn", F.row_number().over(w)).where("_rn = 1").drop("_rn")
@@ -371,7 +374,7 @@ WITH err AS (SELECT event_id AS error_id, user_id, floor(epoch(ts))::BIGINT AS e
              FROM events WHERE event_type = 'click'),
      j AS (SELECT error_id, click_id, abs(et - ct) AS diff,
                   row_number() OVER (PARTITION BY error_id ORDER BY abs(et - ct), click_id) AS rn
-           FROM err JOIN clk ON err.user_id = clk.user_id AND abs(et - ct) <= 60)
+           FROM err JOIN clk ON err.user_id = clk.user_id AND abs(et - ct) <= 3600)
 SELECT error_id, click_id, diff FROM j WHERE rn = 1
 """
 
@@ -468,13 +471,24 @@ GROUP BY field_key
 # --------------------------------------------------------------------------
 
 
-def q_minhash_band_candidates(spark, sf_dir):
-    """MinHash+LSH near-dup candidates: per (doc, band) signature =
-    min(md5(token:band)) over the distinct-token set; docs sharing a (band,
-    sig) bucket are candidates. Spark side does the real bucket self-join
-    (the scale path); the oracle counts pairs per bucket arithmetically —
-    identical results since each doc appears once per bucket."""
-    docs = _t(spark, sf_dir, "documents")
+# A (band, sig) bucket with c members emits c·(c−1)/2 candidate pairs in the
+# self-join. A boilerplate-heavy near-dup cluster in 100 TB of web data puts
+# millions of docs in one bucket → a quadratic single-task blowup. Buckets
+# above this cap are excluded from pairing and REPORTED per band (hot-bucket
+# count + member count) instead of silently truncated: at web scale such a
+# bucket is by definition one near-dup cluster, so the downstream dedup
+# decision ("keep one of these") doesn't need its pairwise expansion.
+MINHASH_BUCKET_CAP = 1000
+
+
+def minhash_band_pairs(docs: DataFrame, cap: int = MINHASH_BUCKET_CAP) -> DataFrame:
+    """MinHash+LSH near-dup candidates over ``docs(doc_id, text)``: per
+    (doc, band) signature = min(md5(token)) 8-hex slice over the
+    distinct-token set; docs sharing a (band, sig) bucket are candidates.
+    Count-first hot-bucket guard: bucket sizes are aggregated before the
+    self-join, and only buckets with size <= cap join (pair output is
+    bounded by cap²/2 per bucket); hot buckets surface in the
+    n_hot_buckets / n_hot_docs columns."""
     toks = docs.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
     )
@@ -496,22 +510,44 @@ def q_minhash_band_candidates(spark, sf_dir):
             )
         ).alias("bs"),
     ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
-    a = sigs.select(F.col("doc_id").alias("da"), "band", "sig")
+    # Count-first: one extra aggregation on the same (band, sig) key the
+    # self-join shuffles on, so no additional exchange of the sigs table.
+    counts = sigs.groupBy("band", "sig").agg(F.count(F.lit(1)).alias("c"))
+    cold = counts.where(F.col("c") <= cap).select("band", "sig")
+    a = sigs.join(cold, ["band", "sig"]).select(F.col("doc_id").alias("da"), "band", "sig")
     b = sigs.select(F.col("doc_id").alias("db"), F.col("band").alias("band_b"), F.col("sig").alias("sig_b"))
     pairs = a.join(b, (a.band == b.band_b) & (a.sig == b.sig_b) & (a.da < b.db))
-    return pairs.groupBy(F.col("band").cast("long").alias("band")).agg(
+    per_band_pairs = pairs.groupBy(F.col("band").cast("long").alias("band")).agg(
         F.count(F.lit(1)).alias("n_pairs")
+    )
+    hot = counts.groupBy(F.col("band").cast("long").alias("band")).agg(
+        F.sum(F.when(F.col("c") > cap, 1).otherwise(0)).cast("long").alias("n_hot_buckets"),
+        F.sum(F.when(F.col("c") > cap, F.col("c")).otherwise(0)).cast("long").alias("n_hot_docs"),
+    )
+    return per_band_pairs.join(hot, "band").select(
+        "band", "n_pairs", "n_hot_buckets", "n_hot_docs"
     )
 
 
-SQL_MINHASH_BAND_CANDIDATES = """
+def q_minhash_band_candidates(spark, sf_dir):
+    """Near-dup candidate counts per band with the hot-bucket guard; the
+    oracle counts pairs per sub-cap bucket arithmetically — identical
+    results since each doc appears once per bucket."""
+    return minhash_band_pairs(_t(spark, sf_dir, "documents"))
+
+
+SQL_MINHASH_BAND_CANDIDATES = f"""
 WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
      sigs AS (SELECT doc_id, band, min(substr(md5(token), band * 8 + 1, 8)) AS sig
               FROM toks, (SELECT unnest(range(4)) AS band)
               GROUP BY doc_id, band),
      buckets AS (SELECT band, sig, count(*) AS c FROM sigs GROUP BY band, sig)
-SELECT band::BIGINT AS band, sum((c * (c - 1)) // 2)::BIGINT AS n_pairs
-FROM buckets GROUP BY 1 HAVING sum((c * (c - 1)) // 2) > 0
+SELECT band::BIGINT AS band,
+       sum(CASE WHEN c <= {MINHASH_BUCKET_CAP} THEN (c * (c - 1)) // 2 ELSE 0 END)::BIGINT AS n_pairs,
+       sum(CASE WHEN c > {MINHASH_BUCKET_CAP} THEN 1 ELSE 0 END)::BIGINT AS n_hot_buckets,
+       sum(CASE WHEN c > {MINHASH_BUCKET_CAP} THEN c ELSE 0 END)::BIGINT AS n_hot_docs
+FROM buckets GROUP BY 1
+HAVING sum(CASE WHEN c <= {MINHASH_BUCKET_CAP} THEN (c * (c - 1)) // 2 ELSE 0 END) > 0
 """
 
 
@@ -1280,8 +1316,10 @@ ANALYTIC_QUERIES: dict[str, tuple] = {
     "lang_id_ngram": (q_lang_id_ngram, SQL_LANG_ID_NGRAM),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "embedding_ivf_knn": (q_embedding_ivf_knn, SQL_EMBEDDING_IVF_KNN),
-    # sf-pinned to 0.01: the driver's DuckDB cross-check runs at sf0.01
-    "cjk_pages": (q_cjk_pages, _sql_cjk_pages("0.01")),
+    # Lazy (callable) oracle: building the SQL materializes the span corpus
+    # + expected outputs, which must NOT happen at import time. The driver
+    # contract resolves callables with the harness's correctness sf.
+    "cjk_pages": (q_cjk_pages, _sql_cjk_pages),
     "source_rollup": (q_source_rollup, SQL_SOURCE_ROLLUP),
     "recent_top_events": (q_recent_top_events, SQL_RECENT_TOP_EVENTS),
     "layout_y_lines": (q_layout_y_lines, SQL_LAYOUT_Y_LINES),

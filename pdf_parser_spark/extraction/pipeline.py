@@ -325,7 +325,12 @@ def doc_stats_frame(page_entries: DataFrame) -> DataFrame:
 
 
 def run_pipeline(
-    spark, docs: DataFrame, job_ts: str = JOB_TS, persist: bool = True, admit: bool = True
+    spark,
+    docs: DataFrame,
+    job_ts: str = JOB_TS,
+    persist: bool = True,
+    admit: bool = True,
+    track: list | None = None,
 ) -> dict[str, DataFrame]:
     """Full job. Returns the four output DataFrames; callers persist with
     .write.partitionBy(...).parquet(...) (Iceberg writeTo on a real cluster).
@@ -334,6 +339,10 @@ def run_pipeline(
     four outputs derive from them, and recomputing the kernel per output
     would quadruple the job's only expensive stage. On a real cluster this
     is persist(MEMORY_AND_DISK) or a checkpoint to the lineage location.
+    ``track`` (a caller-owned list) receives the persisted handles so the
+    caller can unpersist once its outputs are materialized — long-running
+    sessions (streaming micro-batches, repeated report jobs) must not
+    accumulate cached RDDs until eviction pressure.
 
     ``admit=False`` skips admission control for callers that have already
     run it corpus-globally (lineage.run_with_lineage — admission is a
@@ -349,6 +358,8 @@ def run_pipeline(
     entries = entries_frame(page_entries)
     if persist:
         entries = entries.persist()
+    if persist and track is not None:
+        track.extend([page_entries, entries])
     extracted = extracted_frame(entries, job_ts)
     return {
         "extracted_spans": extracted_spans_frame(entries),

@@ -15,7 +15,9 @@ from ..oracle import JOB_TS
 from .pipeline import _vendor_name_col
 
 
-def global_seq(df: DataFrame, order_cols: list[str], out_col: str) -> DataFrame:
+def global_seq(
+    df: DataFrame, order_cols: list[str], out_col: str, track: list | None = None
+) -> DataFrame:
     """Corpus-global 1-based sequence by ``order_cols`` without a
     single-partition window (the naive Window.orderBy moves the whole table
     through one task — the serial stage that caps scaling).
@@ -23,7 +25,9 @@ def global_seq(df: DataFrame, order_cols: list[str], out_col: str) -> DataFrame:
     Two-phase: range-partition by the order columns, rank locally, then add
     per-partition offsets (a tiny driver-side cumulative sum). The persist
     pins the sampled range boundaries so the offsets job and the final read
-    see identical partitioning."""
+    see identical partitioning — it is load-bearing, not an optimization,
+    so it cannot be dropped; ``track`` receives the persisted handle for
+    the caller to unpersist after materializing the result."""
     from pyspark.sql.functions import spark_partition_id
 
     parts = max(2, df.sparkSession.sparkContext.defaultParallelism)
@@ -32,6 +36,8 @@ def global_seq(df: DataFrame, order_cols: list[str], out_col: str) -> DataFrame:
         .withColumn("_pid", spark_partition_id())
         .persist()
     )
+    if track is not None:
+        track.append(d2)
     # Per-partition offsets computed AS A PLAN (no driver collect — keeps
     # report construction lazy): cumulative sum over the tiny per-partition
     # count table, broadcast back onto the rows. The single-partition window
@@ -50,7 +56,12 @@ def global_seq(df: DataFrame, order_cols: list[str], out_col: str) -> DataFrame:
     )
 
 
-def master_log_frame(extracted: DataFrame, admitted_docs: DataFrame, job_ts: str = JOB_TS) -> DataFrame:
+def master_log_frame(
+    extracted: DataFrame,
+    admitted_docs: DataFrame,
+    job_ts: str = JOB_TS,
+    track: list | None = None,
+) -> DataFrame:
     """Master-log re-pivot (A3/A4, update_excel.py:29-128).
 
     Per doc: per-field value lists in insertion (row_seq) order; positional
@@ -154,7 +165,7 @@ def master_log_frame(extracted: DataFrame, admitted_docs: DataFrame, job_ts: str
     # meta is doc-level (one row per admitted doc) — same order of magnitude
     # as the report itself, so this is a plain shuffle join (AQE picks the
     # strategy), NOT a broadcast.
-    joined = global_seq(rows.join(meta, "doc_id"), ["doc_id", "i"], "sr_no")
+    joined = global_seq(rows.join(meta, "doc_id"), ["doc_id", "i"], "sr_no", track=track)
     return joined.select(
         "sr_no",
         "vendor",

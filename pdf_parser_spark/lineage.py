@@ -100,8 +100,26 @@ def run_with_lineage(
     Exactly-once argument: output partitions are written (dynamic
     overwrite) *before* their lineage rows; a crash between the two leaves
     the bucket un-lineaged, so the next run redoes it and the overwrite
-    discards the partial write."""
+    discards the partial write.
+
+    Resume path: doc_meta persists the admission *winners* of every
+    completed bucket (written before their lineage rows), so a resume
+    anti-joins the input against those hashes instead of re-running the
+    corpus-global first-wins window over everything — at 100x corpus size
+    a resume's admission cost is proportional to the remaining work, not
+    the whole input. Equivalent by construction: a hash whose winner sits
+    in a completed bucket is fully removed (every duplicate of it lost to
+    that winner in the global window too); a hash absent from completed
+    doc_meta keeps ALL its docs, so the window over the remainder picks
+    the same winner."""
     done = completed_buckets(spark, root)
+    if done:
+        known_hashes = (
+            spark.read.parquet(os.path.join(root, "doc_meta"))
+            .where(F.col("bucket").isin(list(done)))
+            .select("file_hash")
+        )
+        docs = docs.join(known_hashes, "file_hash", "left_anti")
     admitted = admit_documents(docs).withColumn(
         "bucket", _bucket(F.col("doc_id"), n_buckets)
     )
@@ -111,7 +129,8 @@ def run_with_lineage(
     if not ran:
         return {"job_id": job_id, "buckets_run": 0, "buckets_skipped": len(done)}
 
-    out = run_pipeline(spark, todo.drop("bucket"), admit=False)
+    cached: list = []
+    out = run_pipeline(spark, todo.drop("bucket"), admit=False, track=cached)
     to_write = {
         name: out[name].withColumn("bucket", _bucket(F.col("doc_id"), n_buckets))
         for name in ("extracted_spans", "extracted", "doc_stats")
@@ -160,6 +179,8 @@ def run_with_lineage(
         .write.mode("append")
         .parquet(lineage_path(root))
     )
+    for f in cached:
+        f.unpersist()
     return {"job_id": job_id, "buckets_run": len(ran), "buckets_skipped": len(done)}
 
 

@@ -16,19 +16,72 @@ number (nor overwrite its partitions). A *retried* micro-batch reuses its
 batch id, so the sub-root's lineage resumes it exactly where it failed —
 Spark's checkpoint dedups source files across restarts, the sub-root
 lineage dedups buckets within a partially-failed micro-batch.
+
 Admission dedup inside a micro-batch is per-batch; cross-batch dedup of
-re-uploaded content is an anti-join against the accumulated doc_meta
-(matching the reference's upload-time hash check, views/core.py:622-644).
+re-uploaded content is an anti-join of each batch against the accumulated
+doc_meta of every *prior* sub-root and the compacted layout (matching the
+reference's upload-time hash check, views/core.py:622-644). The current
+batch's own sub-root is excluded so a retried micro-batch is not
+anti-joined against its own partial output.
+
+Sub-roots proliferate one directory per micro-batch; ``compact_stream_
+output`` periodically folds them into a single bucketed layout under
+``<root>/compacted/`` (same layout as a lineage root, so reads and the
+cross-batch anti-join keep working), after which reads union the compacted
+layout with any sub-roots that arrived later.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .corpus import spark_schema
-from .lineage import run_with_lineage
+from .lineage import INCREMENTAL_TABLES, _bucket, run_with_lineage
+
+COMPACTED_DIR = "compacted"
+
+
+def _batch_dirs(root: str, name: str | None = None, exclude: str | None = None) -> list[str]:
+    if not os.path.isdir(root):
+        return []
+    return sorted(
+        d
+        for d in os.listdir(root)
+        if d.startswith("batch=")
+        and d != exclude
+        and os.path.isdir(os.path.join(root, d, name) if name else os.path.join(root, d))
+    )
+
+
+def _table_roots(root: str, name: str, exclude_batch: str | None = None) -> list[str]:
+    """Every existing location of one output table: the compacted layout
+    plus all micro-batch sub-roots (minus ``exclude_batch``)."""
+    roots = []
+    compacted = os.path.join(root, COMPACTED_DIR, name)
+    if os.path.isdir(compacted):
+        roots.append(os.path.join(root, COMPACTED_DIR))
+    roots.extend(os.path.join(root, d) for d in _batch_dirs(root, name, exclude_batch))
+    return roots
+
+
+def accumulated_doc_meta(
+    spark: SparkSession, root: str, exclude_batch: str | None = None
+) -> DataFrame | None:
+    """Union of doc_meta across the compacted layout + prior sub-roots —
+    the known-content set the cross-batch anti-join runs against."""
+    from functools import reduce
+
+    roots = _table_roots(root, "doc_meta", exclude_batch)
+    if not roots:
+        return None
+    frames = [
+        spark.read.parquet(os.path.join(r, "doc_meta")).select("file_hash") for r in roots
+    ]
+    return reduce(DataFrame.unionByName, frames)
 
 
 def stream_extract(
@@ -54,8 +107,12 @@ def stream_extract(
     def process_batch(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        session = batch_df.sparkSession
+        known = accumulated_doc_meta(session, output_root, exclude_batch=f"batch={batch_id}")
+        if known is not None:
+            batch_df = batch_df.join(known, "file_hash", "left_anti")
         run_with_lineage(
-            batch_df.sparkSession,
+            session,
             batch_df,
             os.path.join(output_root, f"batch={batch_id}"),
             f"{job_id}-b{batch_id}",
@@ -72,9 +129,58 @@ def stream_extract(
     return writer.start()
 
 
+def compact_stream_output(spark: SparkSession, root: str, n_buckets: int = 64) -> int:
+    """Fold every micro-batch sub-root (plus any previous compacted layout)
+    into a single bucketed layout at ``<root>/compacted/<table>/bucket=*``,
+    then remove the folded sub-roots. Returns the number of sub-roots
+    folded (0 = nothing to do).
+
+    Write-then-promote: the merged tables land under ``_compacting/``
+    first; the swap to ``compacted/`` + sub-root removal happens only after
+    every table wrote successfully, so a crash mid-compaction leaves the
+    readable state untouched (the stale ``_compacting/`` is overwritten by
+    the next attempt). On a real cluster this is an Iceberg
+    rewrite_data_files / RewriteManifests action; directory moves are the
+    parquet stand-in."""
+    from functools import reduce
+
+    batches = _batch_dirs(root)
+    if not batches:
+        return 0
+    tmp = os.path.join(root, "_compacting")
+    final = os.path.join(root, COMPACTED_DIR)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    for name in INCREMENTAL_TABLES:
+        roots = _table_roots(root, name)
+        if not roots:
+            continue
+        frames = [
+            spark.read.parquet(os.path.join(r, name)).drop("bucket") for r in roots
+        ]
+        merged = reduce(DataFrame.unionByName, frames).withColumn(
+            "bucket", _bucket(F.col("doc_id"), n_buckets)
+        )
+        merged.write.partitionBy("bucket").mode("overwrite").parquet(
+            os.path.join(tmp, name)
+        )
+
+    # Promote: everything is written; swap directories and drop the inputs.
+    old = final + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.isdir(final):
+        os.rename(final, old)
+    os.rename(tmp, final)
+    shutil.rmtree(old, ignore_errors=True)
+    for d in batches:
+        shutil.rmtree(os.path.join(root, d))
+    return len(batches)
+
+
 def read_stream_output(spark: SparkSession, root: str, name: str) -> DataFrame:
-    """Union of one output table across all micro-batch sub-roots.
-    ``master_log`` is derived corpus-globally over that union."""
+    """One output table across the compacted layout + all remaining
+    micro-batch sub-roots. ``master_log`` is derived corpus-globally over
+    that union."""
     if name == "master_log":
         from .extraction.reports import master_log_frame
 
@@ -86,9 +192,6 @@ def read_stream_output(spark: SparkSession, root: str, name: str) -> DataFrame:
 
     from .lineage import read_output
 
-    batch_dirs = sorted(
-        d for d in os.listdir(root)
-        if d.startswith("batch=") and os.path.isdir(os.path.join(root, d, name))
-    )
-    frames = [read_output(spark, os.path.join(root, d), name) for d in batch_dirs]
+    roots = _table_roots(root, name)
+    frames = [read_output(spark, r, name) for r in roots]
     return reduce(DataFrame.unionByName, frames)

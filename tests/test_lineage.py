@@ -79,6 +79,36 @@ def test_crash_resume_equals_single_shot(spark, docs_df, tmp_path):
         assert _rows(spark, crash_root, name) == expected[name], name
 
 
+def test_resume_admission_skips_completed_docs(spark, docs_df, tmp_path, monkeypatch):
+    """Resume must NOT re-run the corpus-global admission window over the
+    whole input: the anti-join against completed buckets' doc_meta shrinks
+    the admission input to the un-finished remainder."""
+    root = str(tmp_path / "resume_cheap")
+    lineage.run_with_lineage(spark, docs_df, root, "run1", N_BUCKETS)
+
+    # Crash shape: forget lineage for half the buckets (outputs intact).
+    lin_path = lineage.lineage_path(root)
+    kept = spark.read.parquet(lin_path).where(F.col("bucket") < N_BUCKETS // 2).collect()
+    shutil.rmtree(lin_path)
+    spark.createDataFrame(kept, schema=lineage._LINEAGE_SCHEMA).write.parquet(lin_path)
+
+    seen = {}
+    real_admit = lineage.admit_documents
+
+    def spy(docs):
+        seen["n_input"] = docs.count()
+        return real_admit(docs)
+
+    monkeypatch.setattr(lineage, "admit_documents", spy)
+    expected = {n: _rows(spark, root, n) for n in lineage.OUTPUT_TABLES}
+    s = lineage.run_with_lineage(spark, docs_df, root, "resume", N_BUCKETS)
+    assert s["buckets_skipped"] == N_BUCKETS // 2
+    total = docs_df.count()
+    assert 0 < seen["n_input"] < total  # admission saw only the remainder
+    for name in lineage.OUTPUT_TABLES:
+        assert _rows(spark, root, name) == expected[name], name
+
+
 def test_partial_write_without_lineage_is_rewritten(spark, docs_df, tmp_path):
     """A bucket whose output landed but whose lineage row didn't must be
     redone (and the overwrite must not duplicate its rows)."""
