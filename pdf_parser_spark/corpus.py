@@ -25,16 +25,19 @@ from __future__ import annotations
 import hashlib
 import random
 
+from . import kernel
+
 VENDOR_SLOTS = (
     (0, 18, "citic"),
     (18, 36, "jsw"),
     (36, 50, "iraeta"),
     (50, 70, "hengrun"),
     (70, 90, "posco"),
-    (90, 95, ""),        # unknown vendor → detection docs, excluded from extraction
-    (95, 98, "edge"),    # all-failed-pages docs (rotating vendor)
-    (98, 99, "citic"),   # duplicate-source doc
-    (99, 100, "dup"),    # byte-identical duplicate of the previous doc
+    (90, 95, ""),          # unlabeled docs → the vendor-detection router (R11)
+    (95, 97, "edge"),      # all-failed-pages docs (rotating vendor)
+    (97, 98, "mislabel"),  # posco-branded content labeled jsw → detection_mismatch
+    (98, 99, "citic"),     # duplicate-source doc
+    (99, 100, "dup"),      # byte-identical duplicate of the previous doc
 )
 
 GIANT_EVERY = 500          # every i % 500 == 250 becomes a giant skewed doc
@@ -65,8 +68,10 @@ def _filler(rnd: random.Random, n: int) -> str:
 # text (list[str]), table (list[str]), media (list[str]).
 
 
-def _page(text=(), table=(), media=()):
-    return {"text": list(text), "table": list(table), "media": list(media)}
+def _page(text=(), table=(), media=(), geom=None):
+    """geom = (width, height) page geometry carried on media refs; None →
+    the default A4 portrait (kernel.DEFAULT_GEOM)."""
+    return {"text": list(text), "table": list(table), "media": list(media), "geom": geom}
 
 
 def _citic_pages(rnd: random.Random) -> list[dict]:
@@ -276,7 +281,7 @@ def _posco_pages(rnd: random.Random) -> list[dict]:
             pages.append(_page(table=[_posco_table(rnd, crash_plates, heat)], text=[crash_text]))
         elif roll < 0.55:
             pages.append(_page(text=[text_line]))
-        elif roll < 0.65:
+        elif roll < 0.63:
             # short-text OCR page with multi-line candidates (line_by_line
             # match types run against real lines here).
             good = (
@@ -284,7 +289,52 @@ def _posco_pages(rnd: random.Random) -> list[dict]:
                 + "\n".join(f"34.8x200x4x1451 {pl} 2 20.812 {heat} KOR" for pl in plates)
             )
             pages.append(_page(text=["pg"], media=[good, "###@@@!!!"]))
+        elif roll < 0.68:
+            # O6: portrait page scanned sideways — the text layer reads only
+            # the table header words (3 table indicators, <50 chars → OCR
+            # gate), the scan content is rotated; classifier says rotate 90
+            # (portrait & table_matches>2) and the kernel un-rotates the
+            # candidates before the OCR grid.
+            good = (
+                f"POSCO INTERNATIONAL CORPORATION\nCertificate No. {cert}\n"
+                + "\n".join(f"34.8x200x4x1451 {pl} 2 20.812 {heat} KOR" for pl in plates)
+            )
+            pages.append(
+                _page(
+                    text=["Size Product No. Heat No. Plate No."],
+                    media=[kernel._rot90_ccw(good), "###@@@!!!"],
+                    geom=(595, 842),
+                )
+            )
+        elif roll < 0.72:
+            # O6: landscape page whose content is rotated −90 (landscape &
+            # table_matches<2 & posco_matches>0 → rotate −90).
+            good = (
+                f"POSCO INTERNATIONAL CORPORATION\nCertificate No. {cert}\n"
+                + "\n".join(f"34.8x200x4x1451 {pl} 2 20.812 {heat} KOR" for pl in plates)
+            )
+            pages.append(
+                _page(
+                    text=["POSCO INTERNATIONAL Mill Test Certificate"],
+                    media=[kernel._rot90_cw(good), "###@@@!!!"],
+                    geom=(842, 595),
+                )
+            )
         elif roll < 0.75:
+            # O6: clean landscape scan — classifier high-confidence
+            # no-rotation (landscape & table_matches>=3), candidates as-is.
+            good = (
+                f"POSCO INTERNATIONAL CORPORATION\nCertificate No. {cert}\n"
+                + "\n".join(f"34.8x200x4x1451 {pl} 2 20.812 {heat} KOR" for pl in plates)
+            )
+            pages.append(
+                _page(
+                    text=["Size Product No. Heat No. Plate No."],
+                    media=[good, "###@@@!!!"],
+                    geom=(842, 595),
+                )
+            )
+        elif roll < 0.85:
             # cert-only page → multi_match NA entry.
             pages.append(_page(text=[f"Mill Test Certificate Certificate No. {cert} {_filler(rnd, 10)}"]))
         else:
@@ -310,24 +360,64 @@ def _giant_pages(rnd: random.Random) -> list[dict]:
     return pages
 
 
-_BRAND_SNIPPETS = (
-    "POSCO INTERNATIONAL CORPORATION Mill Test Certificate",
-    "posco gwangyang works pohang iron & steel",
-    "tata steel limited jamshedpur works",
-    "CITIC steel 中信钢铁 special materials",
-    "jfe steel corporation JFE holdings",
-    "nippon steel 新日本製鐵 quality assurance",
-    "baosteel 宝钢 宝山钢铁 certificate",
-    "not posco and not tata generic trading house",
+# (routable?, brand snippet) — one kit per unlabeled doc. posco/citic kits
+# carry real extractable content so routed docs produce entries; the other
+# brands are detected but have no config (quarantine no_vendor_config); the
+# 'not posco' kit scores below the 0.4 threshold (negative indicators).
+_BRAND_KITS = (
+    ("posco", "POSCO INTERNATIONAL CORPORATION Mill Test Certificate"),
+    ("posco", "posco gwangyang works pohang iron & steel"),
+    (None, "tata steel limited jamshedpur works"),
+    ("citic", "CITIC steel 中信钢铁 special materials"),
+    (None, "jfe steel corporation JFE holdings"),
+    (None, "nippon steel 新日本製鐵 quality assurance"),
+    (None, "baosteel 宝钢 宝山钢铁 certificate"),
+    (None, "not posco and not tata generic trading house"),
 )
 
 
 def _unknown_pages(rnd: random.Random) -> list[dict]:
+    kind, snippet = rnd.choice(_BRAND_KITS)
     pages = []
     for _ in range(rnd.randint(1, 3)):
-        snippet = rnd.choice(_BRAND_SNIPPETS)
-        pages.append(_page(text=[f"{snippet} {_filler(rnd, 12)}"]))
+        if kind == "posco":
+            cert = f"{_digits(rnd, 6)}-FP{_digits(rnd, 2)}{_upper(rnd, 2)}-{_digits(rnd, 4)}A1-{_digits(rnd, 4)}"
+            heat = _posco_heat(rnd)
+            plates = ["PP" + _digits(rnd, 8) for _ in range(rnd.randint(1, 2))]
+            content = f"Certificate No. {cert} " + " ".join(
+                f"34.8x200x4x1451 {pl} 2 20.812 {heat} KOR" for pl in plates
+            )
+            pages.append(_page(text=[f"{snippet} {content} {_filler(rnd, 6)}"]))
+        elif kind == "citic":
+            cert = "Z" + _digits(rnd, 16)
+            heat = "S" + _digits(rnd, 7)
+            plate = "T5" + _digits(rnd, 9)
+            pages.append(
+                _page(
+                    text=[
+                        f"{snippet} Quality Certificate No. {cert} "
+                        f"Heat No. {heat} Plate No. {plate} {_filler(rnd, 6)}"
+                    ]
+                )
+            )
+        else:
+            pages.append(_page(text=[f"{snippet} {_filler(rnd, 12)}"]))
     return pages
+
+
+def _mislabel_pages(rnd: random.Random) -> list[dict]:
+    """Posco-branded certificate content that will be *labeled* jsw: the
+    router's detection contradicts the label at confidence 1.0 ≥ 0.7 →
+    quarantined as detection_mismatch, never extracted."""
+    cert = f"{_digits(rnd, 6)}-FP{_digits(rnd, 2)}{_upper(rnd, 2)}-{_digits(rnd, 4)}A1-{_digits(rnd, 4)}"
+    heat = _posco_heat(rnd)
+    plates = ["PP" + _digits(rnd, 8) for _ in range(2)]
+    line = (
+        f"POSCO INTERNATIONAL CORPORATION Mill Test Certificate "
+        f"Certificate No. {cert} "
+        + " ".join(f"34.8x200x4x1451 {pl} 2 20.812 {heat} KOR" for pl in plates)
+    )
+    return [_page(text=[line])]
 
 
 def _edge_pages(rnd: random.Random) -> list[dict]:
@@ -344,7 +434,14 @@ def _doc_content(i: int, seed: int) -> tuple[str, list[dict]]:
         return "posco", _giant_pages(random.Random(f"{seed}:giant:{i}"))
     c = i % 100
     if c == 99:  # byte-identical duplicate of doc i-1 (admission-control fixture)
-        return _doc_content(i - 1, seed)
+        vendor, pages = _doc_content(i - 1, seed)
+        if (i // 100) % 2 == 1:
+            # every other century the re-upload carries a DIFFERENT vendor
+            # label → the router's vendor_mismatch quarantine fixture
+            # (views/core.py:636-640); content (and thus file_hash) is
+            # untouched — the hash covers spans only.
+            vendor = "posco" if vendor != "posco" else "citic"
+        return vendor, pages
     rnd = random.Random(f"{seed}:{i}")
     for lo, hi, vendor in VENDOR_SLOTS:
         if lo <= c < hi:
@@ -360,6 +457,8 @@ def _doc_content(i: int, seed: int) -> tuple[str, list[dict]]:
                 return "posco", _posco_pages(rnd)
             if vendor == "":
                 return "", _unknown_pages(rnd)
+            if vendor == "mislabel":
+                return "jsw", _mislabel_pages(rnd)
             if vendor == "edge":
                 return _EDGE_VENDORS[c % len(_EDGE_VENDORS)], _edge_pages(rnd)
     raise AssertionError("unreachable")
@@ -375,12 +474,13 @@ def gen_doc(i: int, seed: int = 42) -> dict:
             spans.append({"kind": "text", "text": t, "media_ref": "", "offset": p * 1000 + j})
         for j, t in enumerate(page["table"]):
             spans.append({"kind": "table", "text": t, "media_ref": "", "offset": p * 1000 + 100 + j})
+        gw, gh = page.get("geom") or kernel.DEFAULT_GEOM
         for j, t in enumerate(page["media"]):
             spans.append(
                 {
                     "kind": "media",
                     "text": t,
-                    "media_ref": f"img://{doc_id}/{p}/{j}",
+                    "media_ref": f"img://{doc_id}/{p}/{j}?w={gw}&h={gh}",
                     "offset": p * 1000 + 500 + j,
                 }
             )

@@ -34,12 +34,31 @@ from .extraction.reports import (
 
 CACHE_DIR = Path(__file__).resolve().parent.parent / ".cache"
 
-# Bump when kernel/oracle semantics change: invalidates the materialized
-# corpus + expected-output caches below.
-KERNEL_VER = "v2"
+# Bump when kernel/oracle/corpus semantics change: invalidates the
+# materialized corpus + expected-output caches below.
+# v4: vendor-detection router (R11) + quarantine (S10) + orientation
+#     detect/correct (O6) + corpus fixtures (brand kits with extractable
+#     content, mislabel slot, mismatch dup, rotated-scan pages + geometry
+#     on media refs).
+KERNEL_VER = "v4"
 
-PIPELINE_TABLES = ("extracted_spans", "extracted", "doc_stats", "master_log")
+PIPELINE_TABLES = (
+    "extracted_spans",
+    "extracted",
+    "doc_stats",
+    "master_log",
+    "quarantine",
+    "vendor_routing",
+    "orientation",
+)
 STRATEGY_TABLES = ("posco_multi_strategy",)
+
+# Explicit schemas for expected tables that may be empty at tiny sf (a
+# column-less parquet would break the DuckDB side of the compare).
+_TABLE_COLUMNS = {
+    "quarantine": ["doc_id", "vendor_label", "detected", "confidence", "reason"],
+    "vendor_routing": ["doc_id", "detected", "confidence", "routed_vendor"],
+}
 REPORT_TABLES = (
     "report_vendor_rollup",
     "report_first_value",
@@ -127,7 +146,9 @@ def ensure_corpus(sf: str) -> None:
 
     out["posco_multi_strategy"] = posco_strategy.py_extract(docs)
     for name in PIPELINE_TABLES + REPORT_TABLES + STRATEGY_TABLES:
-        pd.DataFrame(out[name]).to_parquet(expected_path(sf, name), index=False)
+        pd.DataFrame(out[name], columns=_TABLE_COLUMNS.get(name)).to_parquet(
+            expected_path(sf, name), index=False
+        )
 
 
 def _longify(df: DataFrame) -> DataFrame:
@@ -153,6 +174,15 @@ def pipeline_outputs(spark, sf_dir: str) -> dict[str, DataFrame]:
         ensure_corpus(sf)
         docs = spark.read.parquet(corpus_path(sf))
         out = run_pipeline(spark, docs)
+        from .extraction.pipeline import (
+            orientation_frame,
+            quarantine_frame,
+            vendor_routing_frame,
+        )
+
+        out["quarantine"] = quarantine_frame(docs)
+        out["vendor_routing"] = vendor_routing_frame(docs)
+        out["orientation"] = orientation_frame(docs)
         extracted = out["extracted"].cache()
         out["extracted"] = extracted
         out["report_vendor_rollup"] = vendor_rollup(extracted)

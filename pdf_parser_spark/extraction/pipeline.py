@@ -39,16 +39,78 @@ def _vendor_name_col(vendor_col):
     return expr
 
 
-def admit_documents(docs: DataFrame) -> DataFrame:
-    """Admission control (views/core.py:622-644 → SURVEY.md H3/J4):
-    first-wins dedup on the sha256 content hash (later duplicate uploads are
-    rejected regardless of vendor), and only configured vendors proceed."""
+def _routed_ranked(docs: DataFrame) -> DataFrame:
+    """Shared admission-router plan: per-doc detection/routing columns
+    (vendor_detect.route_columns — one JVM projection folded into the scan)
+    + hash first-wins rank and the slot winner's effective vendor. The
+    window shuffles on file_hash exactly as round-1 admission did; routing
+    adds no exchange."""
+    from ..vendor_detect import route_columns
+
     w = Window.partitionBy("file_hash").orderBy("doc_id")
     return (
-        docs.where(F.col("vendor").isin(list(VENDOR_CONFIGS)))
+        route_columns(docs)
         .withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .drop("_rn")
+        .withColumn("_winner_vendor", F.first("eff_vendor").over(w))
+    )
+
+
+def admit_documents(docs: DataFrame) -> DataFrame:
+    """Admission control + router (views.py:154-240, views/core.py:622-668
+    → SURVEY.md H3/J4/R11/S10): vendor detection routes unlabeled docs and
+    blocks high-confidence label contradictions; first-wins dedup on the
+    sha256 content hash rejects later duplicate uploads regardless of
+    vendor; only configured (effective) vendors proceed. The exact
+    per-doc decision order lives in oracle.route_and_admit — this is its
+    DataFrame form; admitted docs carry their effective vendor."""
+    return (
+        _routed_ranked(docs)
+        .where((F.col("_rn") == 1) & F.col("pre_reason").isNull())
+        .select("doc_id", F.col("eff_vendor").alias("vendor"), "file_hash", "spans")
+    )
+
+
+def quarantine_frame(docs: DataFrame) -> DataFrame:
+    """Quarantine output (S10): every doc the router refuses to process,
+    with why. Reasons (reference flow order — detection contradiction
+    precedes the duplicate check, config lookup follows it):
+    detection_mismatch / vendor_mismatch / no_vendor_config."""
+    ranked = _routed_ranked(docs)
+    reason = (
+        F.when(F.col("pre_reason") == "detection_mismatch", F.lit("detection_mismatch"))
+        .when(
+            (F.col("_rn") > 1) & (F.col("eff_vendor") != F.col("_winner_vendor")),
+            F.lit("vendor_mismatch"),
+        )
+        .when((F.col("_rn") == 1) & F.col("pre_reason").isNotNull(), F.col("pre_reason"))
+    )
+    return (
+        ranked.withColumn("reason", reason)
+        .where(F.col("reason").isNotNull())
+        .select(
+            "doc_id",
+            F.col("vendor").alias("vendor_label"),
+            F.coalesce("detected", F.lit("")).alias("detected"),
+            "confidence",
+            "reason",
+        )
+    )
+
+
+def vendor_routing_frame(docs: DataFrame) -> DataFrame:
+    """Detection evidence for unlabeled docs (R11): what the router
+    detected and where each vendor=='' doc was sent."""
+    from ..vendor_detect import route_columns
+
+    return (
+        route_columns(docs)
+        .where(F.col("vendor") == "")
+        .select(
+            "doc_id",
+            F.coalesce("detected", F.lit("")).alias("detected"),
+            "confidence",
+            F.col("eff_vendor").alias("routed_vendor"),
+        )
     )
 
 
@@ -74,6 +136,7 @@ def page_frame(admitted: DataFrame, salt_pages: bool = True) -> DataFrame:
                 s["offset"].alias("offset"),
                 s["kind"].alias("kind"),
                 s["text"].alias("text"),
+                s["media_ref"].alias("media_ref"),
             ),
         )
     )
@@ -102,6 +165,22 @@ def page_frame(admitted: DataFrame, salt_pages: bool = True) -> DataFrame:
             lambda x: x["text"],
         )
 
+    # Page geometry travels on the media refs ('?w=..&h=..', O6); the first
+    # media span's ref speaks for the page.
+    first_media_ref = F.get(
+        F.transform(
+            F.filter(
+                F.col("sp"),
+                lambda x: (x["kind"] == "media") & (_page_of(x["offset"]) == F.col("page")),
+            ),
+            lambda x: x["media_ref"],
+        ),
+        0,  # F.get is NULL on empty arrays (element_at raises under ANSI)
+    )
+    gw = F.regexp_extract(first_media_ref, r"[?&]w=(\d+)", 1)
+    gh = F.regexp_extract(first_media_ref, r"[?&]h=(\d+)", 1)
+    geom = F.when((gw != "") & (gh != ""), F.concat(gw, F.lit("x"), gh)).otherwise(F.lit(""))
+
     pages = with_pages.select(
         "doc_id",
         "vendor",
@@ -109,6 +188,7 @@ def page_frame(admitted: DataFrame, salt_pages: bool = True) -> DataFrame:
         F.array_join(_texts_of("table"), kernel.TABLE_SEP).alias("table_blob"),
         F.array_join(_texts_of("text"), " ").alias("text_raw"),
         F.array_join(_texts_of("media"), kernel.MEDIA_SEP).alias("media_blob"),
+        F.coalesce(geom, F.lit("")).alias("geom"),
     )
     if not salt_pages:
         return pages
@@ -122,6 +202,64 @@ def page_frame(admitted: DataFrame, salt_pages: bool = True) -> DataFrame:
     return pages.repartition(width, "doc_id", "page")
 
 
+def orientation_frame(docs: DataFrame) -> DataFrame:
+    """O6 per-page orientation classification (document_preprocessor.py:
+    32-137) over admitted docs — implemented INDEPENDENTLY of the kernel as
+    JVM regex/when expressions, so the CORRECTNESS row is a true
+    differential check against oracle.orientation_rows (Python re).
+
+    Rules (elif chain preserved): portrait & table_matches>2 → rotate 90;
+    landscape & table_matches<2 & posco_matches>0 → rotate −90; landscape &
+    table_matches>=3 → no rotation, high confidence."""
+    from .. import kernel as K
+
+    pages = page_frame(admit_documents(docs), salt_pages=False)
+
+    def _hits(patterns):
+        out = None
+        for p in patterns:
+            hit = F.when(F.col("text_raw").rlike("(?i)" + p), 1).otherwise(0)
+            out = hit if out is None else out + hit
+        return out
+
+    dw, dh = K.DEFAULT_GEOM
+    w = F.when(F.col("geom") != "", F.split("geom", "x")[0].cast("int")).otherwise(F.lit(dw))
+    h = F.when(F.col("geom") != "", F.split("geom", "x")[1].cast("int")).otherwise(F.lit(dh))
+    d = pages.select(
+        "doc_id",
+        (F.col("page") + 1).cast("long").alias("page_number"),
+        w.cast("long").alias("width"),
+        h.cast("long").alias("height"),
+        _hits(K._TABLE_INDICATOR_PATTERNS).alias("tm"),
+        _hits(K._POSCO_ORIENT_PATTERNS).alias("pm"),
+    )
+    landscape = F.col("width") > F.col("height")
+    rotation = (
+        F.when(~landscape & (F.col("tm") > 2), F.lit(90))
+        .when(landscape & (F.col("tm") < 2) & (F.col("pm") > 0), F.lit(-90))
+        .otherwise(F.lit(0))
+    )
+    confidence = (
+        F.when(~landscape & (F.col("tm") > 2), F.least(F.lit(0.8), F.col("tm") * 0.2))
+        .when(
+            landscape & (F.col("tm") < 2) & (F.col("pm") > 0),
+            F.least(F.lit(0.6), F.col("pm") * 0.15),
+        )
+        .when(landscape & (F.col("tm") >= 3), F.least(F.lit(0.9), F.col("tm") * 0.25))
+        .otherwise(F.lit(0.0))
+    )
+    return d.select(
+        "doc_id",
+        "page_number",
+        "width",
+        "height",
+        rotation.cast("long").alias("rotation"),
+        confidence.alias("confidence"),
+        F.col("tm").cast("long").alias("table_matches"),
+        F.col("pm").cast("long").alias("posco_matches"),
+    )
+
+
 def page_entries_frame(pages: DataFrame) -> DataFrame:
     # Select the struct result once, expand in a second projection: selecting
     # r["entries"] and r["used_ocr"] directly would plan the Python UDF twice
@@ -130,7 +268,7 @@ def page_entries_frame(pages: DataFrame) -> DataFrame:
         "doc_id",
         "vendor",
         "page",
-        extract_page_udf("vendor", "table_blob", "text_raw", "media_blob").alias("r"),
+        extract_page_udf("vendor", "table_blob", "text_raw", "media_blob", "geom").alias("r"),
     ).select(
         "doc_id",
         "vendor",

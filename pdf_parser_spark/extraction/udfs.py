@@ -51,17 +51,20 @@ def extract_page_udf(
     table_blob: pd.Series,
     text_raw: pd.Series,
     media_blob: pd.Series,
+    geom: pd.Series,
 ) -> pd.DataFrame:
-    """(vendor_id, tables⊕\\x1d, raw page text, media⊕\\x1e) → (entries, used_ocr).
+    """(vendor_id, tables⊕\\x1d, raw page text, media⊕\\x1e, page geometry
+    'WxH') → (entries, used_ocr).
 
-    Mirrors the page body of extract_pdf_fields (extractor.py:162-195)."""
+    Mirrors the page body of extract_pdf_fields (extractor.py:162-195) plus
+    the O6 orientation correction on the OCR path."""
     out_entries: list[list[tuple]] = []
     out_ocr: list[bool] = []
-    for v, tb, tx, mb in zip(vendor, table_blob, text_raw, media_blob):
+    for v, tb, tx, mb, gm in zip(vendor, table_blob, text_raw, media_blob, geom):
         cfg = VENDOR_CONFIGS[v]
         tables = tb.split(kernel.TABLE_SEP) if tb else []
         media = mb.split(kernel.MEDIA_SEP) if mb else []
-        entries, used = kernel.extract_page_entries(cfg, tables, tx or "", media)
+        entries, used = kernel.extract_page_entries(cfg, tables, tx or "", media, gm or "")
         out_entries.append(
             [(e["PLATE_NO"], e["HEAT_NO"], e["TEST_CERT_NO"], e["quality"]) for e in entries]
         )

@@ -306,36 +306,193 @@ def _ocr_candidate(text: str, pre: int, cfg: int) -> str:
     return "".join(out)
 
 
+def _alnum_mask(arr):
+    """Vectorized ``str.isalnum`` over a uint32 codepoint array: ASCII
+    ranges compared in bulk, non-ASCII codepoints classified once each."""
+    import numpy as np
+
+    m = (
+        ((arr >= 48) & (arr <= 57))
+        | ((arr >= 65) & (arr <= 90))
+        | ((arr >= 97) & (arr <= 122))
+    )
+    nonascii = arr > 127
+    if nonascii.any():
+        for cp in np.unique(arr[nonascii]):
+            if chr(int(cp)).isalnum():
+                m |= arr == cp
+    return m
+
+
 def best_ocr_text(media_texts: list[str]) -> str:
     """Best-of-N selection over the full preprocess x config candidate grid
     per media span (ocr_helper.py:144-226): strict-greater argmax over the
     quality score, max initialized to 0 — a page whose every candidate
     scores 0 yields ''.
 
-    Candidates are built from a per-text alnum mask shared across the 35
-    grid cells (identical output to _ocr_candidate; only the stride
-    positions are visited instead of every character)."""
+    Byte-identical vectorized form of the spec (``_ocr_candidate`` +
+    ``text_quality_score`` per cell — kept above as the differential-test
+    reference). Candidates are built with numpy writes into a shared
+    codepoint array, and every score component except the five quality
+    regexes is derived incrementally from base-text stats: noise chars
+    replace alnum chars only, so len/strip-len/ok-count/line-bonus are
+    invariant across the grid and the alnum/noise terms shift by exactly
+    the replacement count r. The per-candidate work left is the regex
+    findall counts, which genuinely depend on the mutated string. Cells
+    whose stride hits no alnum char reproduce the identity candidate and
+    can never win a strict-greater argmax, so they are skipped."""
+    import numpy as np
+
+    noise_codes = np.frombuffer(_OCR_NOISE.encode("utf-32-le"), dtype=np.uint32)
     best, best_score = "", 0.0
     for t in media_texts:
-        base = list(t)
-        alnum = [c.isalnum() for c in t]
+        if not t or not t.strip():
+            continue  # every grid cell of an all-whitespace text scores 0
         n = len(t)
+        arr = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+        mask = _alnum_mask(arr)
+        length = n
+        stripped_len = len(t.strip())
+        alnum = int(mask.sum())
+        ok = sum(map(t.count, _QUALITY_OK_CHARS))
+        lines_bonus = 3 <= len([ln for ln in t.split("\n") if ln.strip()]) <= 50
+
+        def score_of(cand: str, r: int) -> float:
+            # text_quality_score term-for-term with alnum' = alnum - r.
+            score = stripped_len * 0.1
+            score += (alnum - r) * 0.5
+            for rx in _CERT_QUALITY_RX:
+                score += len(rx.findall(cand)) * 2
+            score -= (length - (alnum - r) - ok) * 0.1
+            if lines_bonus:
+                score += 5
+            return max(0.0, score)
+
+        seen_cells: set[tuple] = set()
         for pre in range(_OCR_PREPROCESS_GRID):
             for cfg in range(_OCR_CONFIG_GRID):
                 if pre == 0 and cfg == 0:
-                    cand = t
-                else:
-                    stride = 2 + (pre * _OCR_CONFIG_GRID + cfg) % 7
-                    out = base.copy()
-                    k = pre + cfg
-                    for i in range(k % stride, n, stride):
-                        if alnum[i]:
-                            out[i] = _OCR_NOISE[(i + k) % len(_OCR_NOISE)]
-                    cand = "".join(out)
-                s = text_quality_score(cand)
+                    s = score_of(t, 0)
+                    if s > best_score:
+                        best, best_score = t, s
+                    continue
+                k = pre + cfg
+                stride = 2 + (pre * _OCR_CONFIG_GRID + cfg) % 7
+                # Cells sharing (stride, phase) replace the SAME positions;
+                # noise glyphs differ by k%5 but are uniformly \W, non-space
+                # and outside every scoring class, so match intervals — and
+                # therefore scores — are identical. Under the strict-greater
+                # first-wins argmax a later equal-score candidate can never
+                # displace the earlier one: skip 9 of the 34 cells outright.
+                cell = (stride, k % stride)
+                if cell in seen_cells:
+                    continue
+                seen_cells.add(cell)
+                idx = np.arange(k % stride, n, stride)
+                hit = idx[mask[idx]]
+                r = len(hit)
+                if r == 0:
+                    continue  # candidate == identity → can't beat it strictly
+                out = arr.copy()
+                out[hit] = noise_codes[(hit + k) % len(_OCR_NOISE)]
+                cand = out.tobytes().decode("utf-32-le")
+                s = score_of(cand, r)
                 if s > best_score:
                     best, best_score = cand, s
     return best
+
+
+# --- orientation detect/correct (O6, document_preprocessor.py:32-175) --------
+
+_TABLE_INDICATOR_PATTERNS = (
+    r"Size\s+Product\s+No\.",
+    r"Heat\s+No\.",
+    r"Plate\s+No\.",
+    r"Certificate\s+No\.",
+    r"\|\s*Size\s*\|",
+    r"\|\s*Product\s+No\.\s*\|",
+    r"\|\s*Heat\s+No\.\s*\|",
+)
+_POSCO_ORIENT_PATTERNS = (
+    r"POSCO\s+INTERNATIONAL",
+    r"Mill\s+Test\s+Certificate",
+    r"Chemical\s+Composition",
+    r"Tensile\s+Test",
+)
+
+_GEOM_RX = re.compile(r"[?&]w=(\d+)&h=(\d+)")
+DEFAULT_GEOM = (595, 842)  # A4 portrait points — pages without media geometry
+
+
+def geom_of_media_ref(media_ref: str) -> str:
+    """'img://…?w=595&h=842' → '595x842' ('' if no geometry present)."""
+    m = _GEOM_RX.search(media_ref or "")
+    return f"{m.group(1)}x{m.group(2)}" if m else ""
+
+
+def parse_geom(geom: str) -> tuple[int, int]:
+    if geom:
+        w, h = geom.split("x")
+        return int(w), int(h)
+    return DEFAULT_GEOM
+
+
+def classify_orientation(text: str, width: int, height: int) -> tuple[int, float, int, int]:
+    """Per-page orientation heuristic, transcribed from
+    DocumentPreprocessor._analyze_page_orientation
+    (document_preprocessor.py:64-137): table-indicator / POSCO-indicator
+    regex presence counts + the portrait/landscape elif chain. Returns
+    (suggested_rotation, confidence, table_matches, posco_matches).
+
+    The heuristic is noisy by design (a portrait text page listing
+    'Certificate No. … Heat No. … Plate No. …' classifies as needs-rotation)
+    — replicated as-is; rotation is only *consumed* on the OCR path, which
+    mirrors the reference applying correction before rasterizing scans."""
+    is_landscape = width > height
+    tm = sum(1 for p in _TABLE_INDICATOR_PATTERNS if _rx(p).search(text or ""))
+    pm = sum(1 for p in _POSCO_ORIENT_PATTERNS if _rx(p).search(text or ""))
+    rotation, confidence = 0, 0.0
+    if not is_landscape and tm > 2:
+        rotation, confidence = 90, min(0.8, tm * 0.2)
+    elif is_landscape and tm < 2 and pm > 0:
+        rotation, confidence = -90, min(0.6, pm * 0.15)
+    elif is_landscape and tm >= 3:
+        confidence = min(0.9, tm * 0.25)
+    return rotation, confidence, tm, pm
+
+
+def _rot90_cw(text: str) -> str:
+    lines = text.split("\n")
+    h = len(lines)
+    w = max(len(ln) for ln in lines)
+    g = [ln.ljust(w) for ln in lines]
+    return "\n".join(
+        "".join(g[h - 1 - c][r] for c in range(h)).rstrip() for r in range(w)
+    )
+
+
+def _rot90_ccw(text: str) -> str:
+    lines = text.split("\n")
+    h = len(lines)
+    w = max(len(ln) for ln in lines)
+    g = [ln.ljust(w) for ln in lines]
+    return "\n".join(
+        "".join(g[c][w - 1 - r] for c in range(h)).rstrip() for r in range(w)
+    )
+
+
+def rotate_text(text: str, angle: int) -> str:
+    """The span-model analog of PyPDF2 page.rotate(angle)
+    (document_preprocessor.py:156-164): rotate the character grid. cw(+90)
+    and ccw(−90) are exact inverses for texts without trailing spaces
+    (output lines are rstripped)."""
+    if not text or angle == 0:
+        return text
+    if angle == 90:
+        return _rot90_cw(text)
+    if angle == -90:
+        return _rot90_ccw(text)
+    return text
 
 
 # --- POSCO heat corrections (posco_corrections.py:11-49) --------------------
@@ -378,8 +535,13 @@ def extract_page_entries(
     table_texts: list[str],
     text_layer_raw: str,
     media_texts: list[str],
+    page_geom: str = "",
 ) -> tuple[list[dict], bool]:
-    """One page of extract_pdf_fields (extractor.py:162-195).
+    """One page of extract_pdf_fields (extractor.py:162-195), preceded by
+    the O6 orientation correction on the OCR path (the reference runs
+    preprocess_pdf_for_extraction before extraction,
+    document_preprocessor.py:177-193; in the span model only the scanned
+    media candidates have an orientation to correct).
 
     Returns (entries, used_ocr). A page-level exception (the replicated
     defects above) yields no entries — the caller derives ``failed`` as
@@ -398,6 +560,10 @@ def extract_page_entries(
         if not entries:
             text = normalize_text(text_layer_raw)
             if not text or len(text.strip()) < 50:
+                w, h = parse_geom(page_geom)
+                rotation, _conf, _tm, _pm = classify_orientation(text_layer_raw, w, h)
+                if rotation != 0:
+                    media_texts = [rotate_text(m, rotation) for m in media_texts]
                 text = best_ocr_text(media_texts)
                 used_ocr = True
             if text:

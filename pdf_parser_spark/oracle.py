@@ -27,31 +27,92 @@ from .configs import FIELD_KEYS, VENDOR_CONFIGS
 JOB_TS = "2026-01-01 00:00:00"
 
 
-# --- admission control (views/core.py:622-644) --------------------------------
+# --- admission control + router (views.py:154-240, views/core.py:622-668) -----
+
+
+def route_and_admit(docs: list[dict]) -> tuple[list[dict], list[dict]]:
+    """The full admission router: vendor detection/validation, hash
+    first-wins dedup, quarantine. Returns (admitted, quarantine_rows);
+    admitted docs carry their *effective* vendor (unlabeled docs routed by
+    detection take the detected config vendor).
+
+    Per-doc decision order mirrors the reference upload flow:
+      1. detection contradiction at ≥0.7 confidence → quarantine
+         ``detection_mismatch`` (views.py:182-211 — precedes the duplicate
+         check, and the ERROR record still occupies its hash slot);
+      2. hash already seen → quarantine ``vendor_mismatch`` if the
+         effective vendor differs from the slot winner's
+         (views/core.py:636-640), else silent duplicate drop (:641-644);
+      3. no loadable vendor config → quarantine ``no_vendor_config``
+         (views/core.py:664-668);
+      4. otherwise admit."""
+    from . import vendor_detect
+
+    admitted: list[dict] = []
+    quarantine: list[dict] = []
+    winners: dict[str, str] = {}  # file_hash -> effective vendor of first doc
+
+    def q_row(doc: dict, r: dict, reason: str) -> dict:
+        return {
+            "doc_id": doc["doc_id"],
+            "vendor_label": doc["vendor"],
+            "detected": r["detected"] or "",
+            "confidence": r["confidence"],
+            "reason": reason,
+        }
+
+    for doc in sorted(docs, key=lambda d: d["doc_id"]):
+        r = vendor_detect.route_doc(doc)
+        h = doc["file_hash"]
+        first = h not in winners
+        if first:
+            winners[h] = r["eff_vendor"]
+        if r["pre_reason"] == "detection_mismatch":
+            quarantine.append(q_row(doc, r, "detection_mismatch"))
+        elif not first:
+            if r["eff_vendor"] != winners[h]:
+                quarantine.append(q_row(doc, r, "vendor_mismatch"))
+        elif r["pre_reason"]:
+            quarantine.append(q_row(doc, r, r["pre_reason"]))
+        else:
+            admitted.append({**doc, "vendor": r["eff_vendor"]})
+    return admitted, quarantine
 
 
 def admit(docs: list[dict]) -> list[dict]:
-    """First-wins dedup on file_hash (sha256 content hash): later duplicate
-    uploads are rejected regardless of vendor. Docs without a known vendor
-    config are not processable (extractor.py:140-141)."""
-    seen: set[str] = set()
-    admitted = []
+    """Admitted docs only (effective vendors applied)."""
+    return route_and_admit(docs)[0]
+
+
+def vendor_routing_rows(docs: list[dict]) -> list[dict]:
+    """Detection evidence for the unlabeled-upload slot (R11): per
+    vendor=='' doc, what was detected and where it was routed."""
+    from . import vendor_detect
+
+    rows = []
     for doc in sorted(docs, key=lambda d: d["doc_id"]):
-        if doc["vendor"] not in VENDOR_CONFIGS:
+        if doc["vendor"] != "":
             continue
-        if doc["file_hash"] in seen:
-            continue
-        seen.add(doc["file_hash"])
-        admitted.append(doc)
-    return admitted
+        r = vendor_detect.route_doc(doc)
+        rows.append(
+            {
+                "doc_id": doc["doc_id"],
+                "detected": r["detected"] or "",
+                "confidence": r["confidence"],
+                "routed_vendor": r["eff_vendor"],
+            }
+        )
+    return rows
 
 
 # --- per-document extraction (extractor.py:124-262) ---------------------------
 
 
-def doc_pages(doc: dict) -> list[tuple[int, list[str], str, list[str]]]:
-    """Group spans into (page, table_texts, text_layer_raw, media_texts),
-    ordered by page; within a page, spans ordered by offset."""
+def doc_pages(doc: dict) -> list[tuple[int, list[str], str, list[str], str]]:
+    """Group spans into (page, table_texts, text_layer_raw, media_texts,
+    geom), ordered by page; within a page, spans ordered by offset. geom is
+    the page geometry ('WxH') carried on the first media span's ref ('' if
+    the page has none)."""
     by_page: dict[int, list[dict]] = {}
     for s in doc["spans"]:
         by_page.setdefault(s["offset"] // 1000, []).append(s)
@@ -60,8 +121,10 @@ def doc_pages(doc: dict) -> list[tuple[int, list[str], str, list[str]]]:
         spans = sorted(by_page[p], key=lambda s: s["offset"])
         tables = [s["text"] for s in spans if s["kind"] == "table"]
         texts = [s["text"] for s in spans if s["kind"] == "text"]
-        media = [s["text"] for s in spans if s["kind"] == "media"]
-        out.append((p, tables, " ".join(texts), media))
+        media_spans = [s for s in spans if s["kind"] == "media"]
+        media = [s["text"] for s in media_spans]
+        geom = kernel.geom_of_media_ref(media_spans[0]["media_ref"]) if media_spans else ""
+        out.append((p, tables, " ".join(texts), media, geom))
     return out
 
 
@@ -83,8 +146,8 @@ def process_document(doc: dict) -> tuple[list[dict], dict]:
         "partial_extraction": False,
     }
 
-    for p, tables, text_raw, media in pages:
-        entries, used_ocr = kernel.extract_page_entries(cfg, tables, text_raw, media)
+    for p, tables, text_raw, media, geom in pages:
+        entries, used_ocr = kernel.extract_page_entries(cfg, tables, text_raw, media, geom)
         if used_ocr:
             stats["ocr_fallback_pages"].append(p + 1)
         if not entries:
@@ -167,6 +230,30 @@ def extracted_rows(doc: dict, results: list[dict]) -> list[dict]:
     return rows
 
 
+def orientation_rows(admitted: list[dict]) -> list[dict]:
+    """O6 classification evidence per admitted (doc, page) — the pure-Python
+    side of the orientation differential check (the Spark side is an
+    independent JVM-regex implementation in pipeline.orientation_frame)."""
+    rows = []
+    for doc in admitted:
+        for p, _tables, text_raw, _media, geom in doc_pages(doc):
+            w, h = kernel.parse_geom(geom)
+            rot, conf, tm, pm = kernel.classify_orientation(text_raw, w, h)
+            rows.append(
+                {
+                    "doc_id": doc["doc_id"],
+                    "page_number": p + 1,
+                    "width": w,
+                    "height": h,
+                    "rotation": rot,
+                    "confidence": conf,
+                    "table_matches": tm,
+                    "posco_matches": pm,
+                }
+            )
+    return rows
+
+
 def doc_stats_row(doc: dict, stats: dict) -> dict:
     return {
         "doc_id": doc["doc_id"],
@@ -243,8 +330,9 @@ def master_log_rows(docs_by_id: dict[str, dict], extracted: list[dict]) -> list[
 
 def corpus_outputs(docs: list[dict]) -> dict[str, list[dict]]:
     """Run the full oracle over a corpus. Returns dict with keys
-    extracted_spans / extracted / doc_stats / master_log."""
-    admitted = admit(docs)
+    extracted_spans / extracted / doc_stats / master_log / quarantine /
+    vendor_routing."""
+    admitted, quarantine = route_and_admit(docs)
     docs_by_id = {d["doc_id"]: d for d in admitted}
 
     spans_out: list[dict] = []
@@ -262,4 +350,7 @@ def corpus_outputs(docs: list[dict]) -> dict[str, list[dict]]:
         "extracted": extracted,
         "doc_stats": stats_out,
         "master_log": master,
+        "quarantine": quarantine,
+        "vendor_routing": vendor_routing_rows(docs),
+        "orientation": orientation_rows(admitted),
     }

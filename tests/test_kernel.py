@@ -181,3 +181,37 @@ def test_quality_score_properties():
     good = "CERT 123456\nSU 30882\nPP60596702\nline four"
     assert kernel.text_quality_score(good) > kernel.text_quality_score("###@@@!!!")
     assert kernel.text_quality_score("###@@@!!!") == 0
+
+
+def test_best_ocr_text_equals_grid_spec():
+    """The vectorized best_ocr_text must be byte-identical to the literal
+    grid spec (_ocr_candidate + text_quality_score per cell, strict-greater
+    first-wins argmax) on adversarial texts: CJK, noise glyphs, whitespace,
+    punctuation-only lines, empty strings."""
+    import random
+
+    def spec_best(media_texts):
+        best, best_score = "", 0.0
+        for t in media_texts:
+            for pre in range(kernel._OCR_PREPROCESS_GRID):
+                for cfg in range(kernel._OCR_CONFIG_GRID):
+                    cand = kernel._ocr_candidate(t, pre, cfg)
+                    s = kernel.text_quality_score(cand)
+                    if s > best_score:
+                        best, best_score = cand, s
+        return best
+
+    rnd = random.Random(11)
+    alphabet = "ABC abc012 #~^`|.,:-()[]{}/质量证明书熔炼号"
+    samples = [
+        "\n".join(
+            "".join(rnd.choice(alphabet) for _ in range(rnd.randint(0, 50)))
+            for _ in range(rnd.randint(0, 6))
+        )
+        for _ in range(120)
+    ]
+    samples += ["", "   ", "###@@@!!!", ".,:\n.,:\n.,:",
+                "POSCO INTERNATIONAL\nCertificate No. 123456-FP01KS-0001A1-0001"]
+    for i in range(0, len(samples), 2):
+        texts = samples[i : i + 2]
+        assert kernel.best_ocr_text(texts) == spec_best(texts), texts

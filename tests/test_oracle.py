@@ -20,10 +20,39 @@ def test_duplicate_docs_share_hash_and_are_rejected():
     assert admitted == {"d0000098"}
 
 
-def test_unknown_vendor_not_admitted():
-    d90 = corpus.gen_doc(90)
-    assert d90["vendor"] == ""
-    assert oracle.admit([d90]) == []
+def test_unknown_vendor_routed_or_quarantined():
+    """R11: every unlabeled doc is either routed to a config vendor by
+    detection or quarantined with no_vendor_config — never silently lost,
+    never admitted with vendor ''."""
+    unknowns = [corpus.gen_doc(i) for i in range(600) if i % 100 in range(90, 95)]
+    assert unknowns and all(d["vendor"] == "" for d in unknowns)
+    admitted, quarantine = oracle.route_and_admit(unknowns)
+    assert len(admitted) + len(quarantine) == len(unknowns)
+    assert all(d["vendor"] in ("posco", "citic") for d in admitted)
+    assert all(q["reason"] == "no_vendor_config" for q in quarantine)
+    assert admitted, "some unknown docs must route (posco/citic brand kits)"
+    # routed docs must actually extract (the kits carry real content)
+    results, _ = oracle.process_document(admitted[0])
+    assert results
+
+
+def test_mislabel_quarantined_and_mismatch_dup():
+    """S10 + detection validation: the mislabel slot (posco content labeled
+    jsw) quarantines as detection_mismatch at confidence 1.0; the
+    odd-century duplicate slot (same bytes, different vendor label)
+    quarantines as vendor_mismatch."""
+    d97 = corpus.gen_doc(97)
+    assert d97["vendor"] == "jsw"
+    _, q = oracle.route_and_admit([d97])
+    assert [r["reason"] for r in q] == ["detection_mismatch"]
+    assert q[0]["detected"] == "posco" and q[0]["confidence"] >= 0.7
+
+    d198, d199 = corpus.gen_doc(198), corpus.gen_doc(199)
+    assert d198["file_hash"] == d199["file_hash"]
+    assert d198["vendor"] != d199["vendor"]
+    admitted, q = oracle.route_and_admit([d198, d199])
+    assert {d["doc_id"] for d in admitted} == {"d0000198"}
+    assert [(r["doc_id"], r["reason"]) for r in q] == [("d0000199", "vendor_mismatch")]
 
 
 def test_giant_doc_shape():
