@@ -99,6 +99,21 @@ def _citic_pages(rnd: random.Random) -> list[dict]:
             )
             bad = "###@@@!!!"
             pages.append(_page(text=["scan p." + str(p + 1)], media=[good, bad]))
+        elif roll < 0.38:
+            # R10 fixture: fragmented bilingual page — CJK labels sit
+            # ADJACENT to the values (CJK chars are \w, so the active
+            # engine's \b-anchored patterns never fire → failed page); the
+            # multilingual-expansion scan's labeled variants capture them.
+            plate = "T5" + _digits(rnd, 9)
+            pages.append(
+                _page(
+                    text=[
+                        "中信泰富特钢 质量证明书",
+                        f"钢板号{plate} 炉号{heat}",
+                        f"检测证书号{cert} {_filler(rnd, 4)}",
+                    ]
+                )
+            )
         else:
             k = rnd.randint(1, 3)
             plates = ["T5" + _digits(rnd, 9) for _ in range(k)]

@@ -40,7 +40,8 @@ CACHE_DIR = Path(__file__).resolve().parent.parent / ".cache"
 #     detect/correct (O6) + corpus fixtures (brand kits with extractable
 #     content, mislabel slot, mismatch dup, rotated-scan pages + geometry
 #     on media refs).
-KERNEL_VER = "v4"
+# v5: R10 multilingual-expansion scan + fragmented bilingual citic fixture.
+KERNEL_VER = "v5"
 
 PIPELINE_TABLES = (
     "extracted_spans",
@@ -51,7 +52,7 @@ PIPELINE_TABLES = (
     "vendor_routing",
     "orientation",
 )
-STRATEGY_TABLES = ("posco_multi_strategy",)
+STRATEGY_TABLES = ("posco_multi_strategy", "multilingual_scan")
 
 # Explicit schemas for expected tables that may be empty at tiny sf (a
 # column-less parquet would break the DuckDB side of the compare).
@@ -142,9 +143,10 @@ def ensure_corpus(sf: str) -> None:
     out = oracle.corpus_outputs(docs)
     out.update(_expected_reports(out["extracted"]))
 
-    from . import posco_strategy
+    from . import multilingual, posco_strategy
 
     out["posco_multi_strategy"] = posco_strategy.py_extract(docs)
+    out["multilingual_scan"] = multilingual.py_scan(docs)
     for name in PIPELINE_TABLES + REPORT_TABLES + STRATEGY_TABLES:
         pd.DataFrame(out[name], columns=_TABLE_COLUMNS.get(name)).to_parquet(
             expected_path(sf, name), index=False
@@ -190,9 +192,10 @@ def pipeline_outputs(spark, sf_dir: str) -> dict[str, DataFrame]:
         out["report_page_summary"] = page_summary(extracted)
         out["report_dashboard_counters"] = dashboard_counters(extracted)
 
-        from . import posco_strategy
+        from . import multilingual, posco_strategy
 
         out["posco_multi_strategy"] = posco_strategy.spark_extract(docs)
+        out["multilingual_scan"] = multilingual.spark_scan(docs)
         _PIPELINE_CACHE[key] = {k: _longify(v) for k, v in out.items()}
     return _PIPELINE_CACHE[key]
 

@@ -402,6 +402,144 @@ def best_ocr_text(media_texts: list[str]) -> str:
     return best
 
 
+# --- R10 multilingual pattern expansion + line scan ---------------------------
+# Transcribed from the reference's inactive spec (extractor.py.bak:270-443).
+# One correction to make the spec runnable: the .bak builds enhanced
+# patterns from the raw field_info object (a dict for object-valued fields,
+# which would AttributeError on .strip) — here the pattern STRING is used,
+# the only reading under which the code executes.
+
+_MULTILINGUAL_LABELS = {
+    "PLATE_NO": [
+        r"Part\s*No\.?",
+        r"Plate\s*No\.?",
+        r"Product\s*No\.?",
+        r"钢板号",
+        r"产品号",
+        r"零件号",
+    ],
+    "HEAT_NO": [
+        r"Heat\s*No\.?",
+        r"Lot\s*No\.?",
+        r"Batch\s*No\.?",
+        r"炉号",
+        r"批号",
+    ],
+    "TEST_CERT_NO": [
+        r"Test\s*Certificate\s*No\.?",
+        r"Report\s*No\.?",
+        r"Certificate\s*No\.?",
+        r"Cert\.?\s*No\.?",
+        r"检测证书号",
+        r"报告号",
+    ],
+}
+
+
+def create_multilingual_patterns(base_pattern: str, field_name: str) -> list[str]:
+    """extractor.py.bak:270-323 — base pattern first, then per bilingual
+    label a labeled variant and a fragmentation-tolerant variant. Note
+    ``strip(r'\\b')`` strips the *characters* '\\' and 'b' (the reference's
+    own idiom), not the word-boundary token."""
+    patterns = [base_pattern]
+    if field_name in _MULTILINGUAL_LABELS:
+        for label in _MULTILINGUAL_LABELS[field_name]:
+            stripped_pattern = base_pattern.strip(r"\b")
+            patterns.append(f"{label}\\s*[:：]?\\s*\\n?\\s*({stripped_pattern})")
+            patterns.append(
+                f"{label}\\s*[:：]?\\s*\\n?\\s*(.{{0,50}}?)\\s*({stripped_pattern})"
+            )
+    return patterns
+
+
+_ML_FLAGS = re.IGNORECASE | re.DOTALL | re.MULTILINE
+
+_ML_FIELD_NORMALIZE = {
+    "PART_NO": "PLATE_NO",
+    "PRODUCT_NO": "PLATE_NO",
+    "CERTIFICATE_NO": "TEST_CERT_NO",
+    "REPORT_NO": "TEST_CERT_NO",
+}
+
+
+def _ml_rx(pattern: str) -> re.Pattern:
+    key = "\x00ml" + pattern
+    rx = _RX_CACHE.get(key)
+    if rx is None:
+        rx = re.compile(pattern, _ML_FLAGS)
+        _RX_CACHE[key] = rx
+    return rx
+
+
+def extract_line_by_line_scan(text: str, cfg: dict) -> list[dict]:
+    """extract_with_line_by_line_scan (extractor.py.bak:324-443): per-line
+    scan with the expanded pattern lists (last-participating-group value,
+    length>2 filter, confidence=len), a 3-line context-block pass (dedup'd
+    against line hits, confidence=len+1), best-per-field by confidence
+    (stable sort → first-found wins ties), and the ≥2-non-NA-or-cert
+    emission rule. Returns 0 or 1 entries."""
+    fields = cfg["fields"]
+    lines = text.split("\n")
+
+    enhanced: dict[str, list[str]] = {}
+    for field_name, field_info in fields.items():
+        pattern = field_info["pattern"] if isinstance(field_info, dict) else field_info
+        enhanced[field_name] = create_multilingual_patterns(pattern, field_name)
+
+    potential: dict[str, list[dict]] = {"PLATE_NO": [], "HEAT_NO": [], "TEST_CERT_NO": []}
+
+    def _scan(block: str, line_idx: int, context: bool) -> None:
+        for field_name, pats in enhanced.items():
+            norm = _ML_FIELD_NORMALIZE.get(field_name, field_name)
+            if norm not in potential:
+                continue
+            for pattern in pats:
+                try:
+                    for m in _ml_rx(pattern).finditer(block):
+                        value = m.group(m.lastindex) if m.lastindex else m.group(0)
+                        value = (value or "").strip()
+                        if value and len(value) > 2:
+                            if context:
+                                if value in (pv["value"] for pv in potential[norm]):
+                                    continue
+                                conf = len(value) + 1  # context-match bonus
+                            else:
+                                conf = len(value)
+                            potential[norm].append(
+                                {"value": value, "line": line_idx, "confidence": conf}
+                            )
+                except re.error:
+                    continue
+
+    for line_idx, line in enumerate(lines):
+        clean_line = re.sub(r"\s+", " ", line.strip())
+        if not clean_line:
+            continue
+        _scan(clean_line, line_idx, context=False)
+
+    for i in range(len(lines) - 2):
+        block = re.sub(r"\s+", " ", " ".join(lines[i : i + 3]))
+        _scan(block, i, context=True)
+
+    selected: dict[str, str] = {}
+    for field_name, candidates in potential.items():
+        if candidates:
+            candidates.sort(key=lambda x: x["confidence"], reverse=True)  # stable
+            selected[field_name] = candidates[0]["value"]
+
+    if not selected:
+        return []
+    entry = {
+        "PLATE_NO": selected.get("PLATE_NO", "NA"),
+        "HEAT_NO": selected.get("HEAT_NO", "NA"),
+        "TEST_CERT_NO": selected.get("TEST_CERT_NO", "NA"),
+    }
+    non_na = sum(1 for v in entry.values() if v != "NA")
+    if non_na >= 2 or entry["TEST_CERT_NO"] != "NA":
+        return [entry]
+    return []
+
+
 # --- orientation detect/correct (O6, document_preprocessor.py:32-175) --------
 
 _TABLE_INDICATOR_PATTERNS = (
