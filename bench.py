@@ -109,6 +109,14 @@ def main() -> None:
         pipe_times, n_docs = bench_pipeline(spark, sf, cache_dir)
         queries.update(pipe_times)
 
+    if wanted is None or "cjk_pages" in wanted:
+        # Pre-build the span-corpus parquet cjk_pages reads, for the same
+        # reason bench_pipeline pre-builds its corpus: a cold first call
+        # would time the generator, not the query.
+        from pdf_parser_spark import driver_contract
+
+        driver_contract.ensure_corpus(driver_contract.sf_of(sf_dir), with_expected=False)
+
     for name, (fn, _sql) in ANALYTIC_QUERIES.items():
         if wanted is not None and name not in wanted:
             continue

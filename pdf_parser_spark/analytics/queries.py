@@ -1073,7 +1073,7 @@ def q_cjk_pages(spark, sf_dir):
     from .. import driver_contract as dc
 
     sf = dc.sf_of(sf_dir)
-    dc.ensure_corpus(sf)
+    dc.ensure_corpus(sf, with_expected=False)
     docs = spark.read.parquet(dc.corpus_path(sf))
     spans = docs.select("doc_id", F.explode("spans").alias("s"))
     return (
@@ -1089,7 +1089,7 @@ def q_cjk_pages(spark, sf_dir):
 def _sql_cjk_pages(sf: str) -> str:
     from .. import driver_contract as dc
 
-    dc.ensure_corpus(sf)
+    dc.ensure_corpus(sf, with_expected=False)
     return f"""
 SELECT doc_id, count(*)::BIGINT AS cjk_spans,
        min(u.s.offset)::BIGINT AS first_cjk_offset

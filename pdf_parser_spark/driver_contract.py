@@ -124,12 +124,18 @@ def _expected_reports(extracted: list[dict]) -> dict[str, list[dict]]:
     }
 
 
-def ensure_corpus(sf: str) -> None:
-    """Generate (once) the span corpus and the oracle's expected outputs."""
+def ensure_corpus(sf: str, with_expected: bool = True) -> None:
+    """Generate (once) the span corpus — and, unless ``with_expected=False``,
+    the oracle's expected outputs. Callers that only read the corpus table
+    (q_cjk_pages and its SQL) pass False: materializing the full pure-Python
+    oracle inside a query's first run is a multi-second cache artifact that
+    would be misread as query cost."""
     CACHE_DIR.mkdir(exist_ok=True)
-    paths = [corpus_path(sf)] + [
-        expected_path(sf, n) for n in PIPELINE_TABLES + REPORT_TABLES + STRATEGY_TABLES
-    ]
+    paths = [corpus_path(sf)]
+    if with_expected:
+        paths += [
+            expected_path(sf, n) for n in PIPELINE_TABLES + REPORT_TABLES + STRATEGY_TABLES
+        ]
     if all(os.path.exists(p) for p in paths):
         return
     n_docs = corpus.docs_for_sf(float(sf))
@@ -138,7 +144,12 @@ def ensure_corpus(sf: str) -> None:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    pq.write_table(pa.Table.from_pylist(docs, schema=corpus.arrow_schema()), corpus_path(sf))
+    if not os.path.exists(corpus_path(sf)):
+        pq.write_table(
+            pa.Table.from_pylist(docs, schema=corpus.arrow_schema()), corpus_path(sf)
+        )
+    if not with_expected:
+        return
 
     out = oracle.corpus_outputs(docs)
     out.update(_expected_reports(out["extracted"]))

@@ -139,6 +139,13 @@ def detect_vendor_from_text(text: str) -> tuple[str | None, float]:
     if not text:
         return None, 0.0
     text_lower = text.lower()
+    # Deviation (exactness across engines): length normalization uses the
+    # LOWERED text's length. The reference uses len(text); they differ only
+    # for case-folding-expanding chars (e.g. İ → i̇), none of which occur
+    # in any indicator domain — and the Spark form must avoid a second
+    # evaluation of the (expensive, interpreted) detection-text expression
+    # just to measure the un-lowered length.
+    tlen = len(text_lower)
     scores: dict[str, float] = {}
     for vendor_id, config in VENDOR_PATTERNS.items():
         score = 0.0
@@ -155,8 +162,8 @@ def detect_vendor_from_text(text: str) -> tuple[str | None, float]:
         if match_count > 0:
             if match_count > 1:
                 score *= 1.2
-            if len(text) > 1000:
-                score *= min(1.0, 1000 / len(text))
+            if tlen > 1000:
+                score *= min(1.0, 1000 / tlen)
             scores[vendor_id] = min(score, 1.0)
     if scores:
         vendor_id, confidence = max(scores.items(), key=lambda x: x[1])
@@ -290,11 +297,13 @@ def route_columns(docs: DataFrame) -> DataFrame:
     d = d.withColumn(
         "_dt", F.when(F.col("_pre"), detection_text_col()).otherwise(F.lit(""))
     )
-    d = d.select(
-        "*",
-        F.lower(F.col("_dt")).alias("_lt"),
-        F.length(F.col("_dt")).cast("double").alias("_tlen"),
-    )
+    # ONE reference to _dt per projection level: the detection-text HOF tree
+    # runs interpreted (no codegen, no common-subexpression elimination), and
+    # a projection referencing _dt twice evaluates the whole tree twice per
+    # row (measured 2x). _tlen therefore derives from _lt — matching the
+    # Python spec, which normalizes by the lowered length.
+    d = d.select("*", F.lower(F.col("_dt")).alias("_lt"))
+    d = d.select("*", F.length(F.col("_lt")).cast("double").alias("_tlen"))
 
     # Stage 1: every pattern's match count as its own column (one projection).
     counts = []

@@ -29,6 +29,9 @@ TOKENS = [
     "HR12025005001", "质量证明书", "Certificate No.",
     "Plate No", "Heat No", "degraded scan", "…", "|", "NA", "",
     "tensile yield elongation",
+    # router/detection-adversarial: brand indicators, negatives, CJK brands
+    "POSCO INTERNATIONAL", "posco", "not posco", "中信钢铁", "citic steel",
+    "tata steel", "宝钢", "JFE",
 ]
 
 
@@ -93,6 +96,23 @@ def test_random_corpus_spark_equals_oracle(spark, tmp_path_factory, docs):
         pd.testing.assert_frame_equal(
             got_spans.astype(str), want_spans.astype(str), check_dtype=False
         )
+
+    # Admission-router path: quarantine + routing evidence must match the
+    # pure-Python router on the same random docs (detection scoring,
+    # threshold/tie-break, hash-slot semantics).
+    from pdf_parser_spark.extraction.pipeline import quarantine_frame, vendor_routing_frame
+
+    q_sp = sorted(map(tuple, quarantine_frame(spark.read.parquet(path)).collect()))
+    _, q_py = oracle.route_and_admit(docs)
+    assert q_sp == sorted(
+        (x["doc_id"], x["vendor_label"], x["detected"], x["confidence"], x["reason"])
+        for x in q_py
+    )
+    r_sp = sorted(map(tuple, vendor_routing_frame(spark.read.parquet(path)).collect()))
+    assert r_sp == sorted(
+        (x["doc_id"], x["detected"], x["confidence"], x["routed_vendor"])
+        for x in oracle.vendor_routing_rows(docs)
+    )
 
     # POSCO multi-strategy path: Spark HOF form vs its pure-Python spec on
     # the same random docs.
