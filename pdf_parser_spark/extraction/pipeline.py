@@ -42,16 +42,32 @@ def _vendor_name_col(vendor_col):
 def _routed_ranked(docs: DataFrame) -> DataFrame:
     """Shared admission-router plan: per-doc detection/routing columns
     (vendor_detect.route_columns — one JVM projection folded into the scan)
-    + hash first-wins rank and the slot winner's effective vendor. The
-    window shuffles on file_hash exactly as round-1 admission did; routing
-    adds no exchange."""
+    + hash first-wins rank and the slot winner's effective vendor.
+
+    The window ranks a SLIM projection (no spans): the admission decision
+    is a pure function of (doc_id, file_hash, routing columns), so the
+    span payloads — the overwhelming majority of the bytes — never enter
+    this shuffle. At sf20 the full-row window was a ~20 s stage that
+    barely sped up from 8 to 32 cores (shuffle-bound); slim it is
+    megabytes."""
     from ..vendor_detect import route_columns
 
     w = Window.partitionBy("file_hash").orderBy("doc_id")
+    slim = route_columns(docs).select(
+        "doc_id", "vendor", "file_hash", "detected", "confidence", "eff_vendor", "pre_reason"
+    )
+    return slim.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_winner_vendor", F.first("eff_vendor").over(w)
+    )
+
+
+def admission_winners(docs: DataFrame) -> DataFrame:
+    """(doc_id, eff_vendor) of every admitted doc — the slim admission
+    decision, to be joined back onto the span rows."""
     return (
-        route_columns(docs)
-        .withColumn("_rn", F.row_number().over(w))
-        .withColumn("_winner_vendor", F.first("eff_vendor").over(w))
+        _routed_ranked(docs)
+        .where((F.col("_rn") == 1) & F.col("pre_reason").isNull())
+        .select("doc_id", "eff_vendor")
     )
 
 
@@ -62,11 +78,15 @@ def admit_documents(docs: DataFrame) -> DataFrame:
     sha256 content hash rejects later duplicate uploads regardless of
     vendor; only configured (effective) vendors proceed. The exact
     per-doc decision order lives in oracle.route_and_admit — this is its
-    DataFrame form; admitted docs carry their effective vendor."""
-    return (
-        _routed_ranked(docs)
-        .where((F.col("_rn") == 1) & F.col("pre_reason").isNull())
-        .select("doc_id", F.col("eff_vendor").alias("vendor"), "file_hash", "spans")
+    DataFrame form; admitted docs carry their effective vendor.
+
+    Physically: slim window (no spans) + equi-join of the winner set back
+    onto the span rows by doc_id. The join is the only exchange that moves
+    span bytes, and callers that feed the kernel pin and REUSE its
+    partitioning (run_pipeline) so the payload is shuffled exactly once."""
+    winners = admission_winners(docs)
+    return docs.join(winners, "doc_id").select(
+        "doc_id", F.col("eff_vendor").alias("vendor"), "file_hash", "spans"
     )
 
 
@@ -75,7 +95,7 @@ def quarantine_frame(docs: DataFrame) -> DataFrame:
     with why. Reasons (reference flow order — detection contradiction
     precedes the duplicate check, config lookup follows it):
     detection_mismatch / vendor_mismatch / no_vendor_config."""
-    ranked = _routed_ranked(docs)
+    ranked = _routed_ranked(docs)  # slim: no span payloads in this plan
     reason = (
         F.when(F.col("pre_reason") == "detection_mismatch", F.lit("detection_mismatch"))
         .when(
@@ -488,8 +508,25 @@ def run_pipeline(
     per resume subset)."""
     from .reports import master_log_frame
 
-    admitted = admit_documents(docs) if admit else docs
-    pages = page_frame(admitted)
+    if admit:
+        # One span-bytes shuffle total: pin BOTH sides of the admission
+        # join to the same hash partitioning on doc_id (width = the same
+        # 4x-cores the page salt used), so the join needs no further
+        # exchange, the page explode happens in place, and the kernel UDF
+        # inherits the pinned width. Skew moves from page- to doc-
+        # granularity, bounded by pages-per-doc (GIANT_PAGES * ~ms of
+        # kernel time ≈ 100 ms — noise at task scale). The downstream
+        # entries groupBy(doc_id, vendor) also reuses this partitioning.
+        width = spark.sparkContext.defaultParallelism * 4
+        winners = admission_winners(docs).repartition(width, "doc_id")
+        big = docs.repartition(width, "doc_id")
+        admitted = big.join(winners, "doc_id").select(
+            "doc_id", F.col("eff_vendor").alias("vendor"), "file_hash", "spans"
+        )
+        pages = page_frame(admitted, salt_pages=False)
+    else:
+        admitted = docs
+        pages = page_frame(admitted)
     page_entries = page_entries_frame(pages)
     if persist:
         page_entries = page_entries.persist()
