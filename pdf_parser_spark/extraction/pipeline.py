@@ -489,6 +489,7 @@ def run_pipeline(
     persist: bool = True,
     admit: bool = True,
     track: list | None = None,
+    winners: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """Full job. Returns the four output DataFrames; callers persist with
     .write.partitionBy(...).parquet(...) (Iceberg writeTo on a real cluster).
@@ -503,9 +504,14 @@ def run_pipeline(
     accumulate cached RDDs until eviction pressure.
 
     ``admit=False`` skips admission control for callers that have already
-    run it corpus-globally (lineage.run_with_lineage — admission is a
-    first-wins window over the *whole* input, so it must not be applied
-    per resume subset)."""
+    run it corpus-globally (admission is a first-wins window over the
+    *whole* input, so it must not be applied per resume subset).
+
+    ``winners`` (with ``admit=True``) supplies a precomputed slim winner
+    set ``(doc_id, eff_vendor)`` — lineage.run_with_lineage persists one
+    and reuses it here, for ``doc_meta`` and for the bucket listing, so
+    the routing regexes run exactly once per job instead of once per
+    derivation."""
     from .reports import master_log_frame
 
     if admit:
@@ -518,7 +524,9 @@ def run_pipeline(
         # kernel time ≈ 100 ms — noise at task scale). The downstream
         # entries groupBy(doc_id, vendor) also reuses this partitioning.
         width = spark.sparkContext.defaultParallelism * 4
-        winners = admission_winners(docs).repartition(width, "doc_id")
+        if winners is None:
+            winners = admission_winners(docs)
+        winners = winners.repartition(width, "doc_id")
         big = docs.repartition(width, "doc_id")
         admitted = big.join(winners, "doc_id").select(
             "doc_id", F.col("eff_vendor").alias("vendor"), "file_hash", "spans"

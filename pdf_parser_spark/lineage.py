@@ -7,10 +7,12 @@ done as a table instead of per-row ORM writes).
 Model
 -----
 1. **Global admission first.** Admission control (first-wins dedup on
-   file_hash) is a corpus-global window; it runs over the whole input on
-   every invocation — it is a pure function of the input table, so every
-   resume recomputes identical winners. It is cheap relative to extraction
-   (columns pruned to (doc_id, vendor, file_hash) for the window).
+   file_hash + vendor routing) is a corpus-global window. A fresh run
+   computes it ONCE per job over a slim projection (no span payloads),
+   persists the winner set, and reuses it for the pipeline join, the
+   bucket listing and ``doc_meta``; a resume anti-joins the input against
+   completed buckets' persisted winners first, so its admission cost is
+   proportional to the remaining work, not the whole input.
 2. **Bucketed incremental processing.** Admitted documents are assigned to
    ``n_buckets`` stable work partitions by ``pmod(xxhash64(doc_id), B)``.
    One run processes every bucket not yet COMPLETED in the lineage table,
@@ -49,7 +51,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .extraction import run_pipeline
-from .extraction.pipeline import admit_documents
+from .extraction.pipeline import _routed_ranked
 
 INCREMENTAL_TABLES = ("extracted_spans", "extracted", "doc_stats", "doc_meta")
 OUTPUT_TABLES = INCREMENTAL_TABLES + ("master_log",)
@@ -120,22 +122,38 @@ def run_with_lineage(
             .select("file_hash")
         )
         docs = docs.join(known_hashes, "file_hash", "left_anti")
-    admitted = admit_documents(docs).withColumn(
-        "bucket", _bucket(F.col("doc_id"), n_buckets)
-    )
-    todo = admitted.where(~F.col("bucket").isin(list(done))) if done else admitted
 
-    ran = sorted(r["bucket"] for r in todo.select("bucket").distinct().collect())
+    # Slim admission, computed ONCE: routing columns + first-wins window
+    # over (doc_id, eff_vendor, file_hash) only — no span payloads. The
+    # persisted handle feeds the bucket listing, doc_meta, and the pipeline
+    # join (run_pipeline's winners=), so the routing regexes run a single
+    # time per job. It is O(n_docs) slim rows — tiny next to span bytes.
+    slim = (
+        _routed_ranked(docs)
+        .where((F.col("_rn") == 1) & F.col("pre_reason").isNull())
+        .select("doc_id", "eff_vendor", "file_hash")
+        .withColumn("bucket", _bucket(F.col("doc_id"), n_buckets))
+    )
+    if done:
+        slim = slim.where(~F.col("bucket").isin(list(done)))
+    slim = slim.persist()
+
+    ran = sorted(r["bucket"] for r in slim.select("bucket").distinct().collect())
     if not ran:
+        slim.unpersist()
         return {"job_id": job_id, "buckets_run": 0, "buckets_skipped": len(done)}
 
     cached: list = []
-    out = run_pipeline(spark, todo.drop("bucket"), admit=False, track=cached)
+    out = run_pipeline(
+        spark, docs, track=cached, winners=slim.select("doc_id", "eff_vendor")
+    )
     to_write = {
         name: out[name].withColumn("bucket", _bucket(F.col("doc_id"), n_buckets))
         for name in ("extracted_spans", "extracted", "doc_stats")
     }
-    to_write["doc_meta"] = todo.select("doc_id", "vendor", "file_hash", "bucket")
+    to_write["doc_meta"] = slim.select(
+        "doc_id", F.col("eff_vendor").alias("vendor"), "file_hash", "bucket"
+    )
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     for name, df in to_write.items():
@@ -181,6 +199,7 @@ def run_with_lineage(
     )
     for f in cached:
         f.unpersist()
+    slim.unpersist()
     return {"job_id": job_id, "buckets_run": len(ran), "buckets_skipped": len(done)}
 
 

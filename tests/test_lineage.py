@@ -93,13 +93,13 @@ def test_resume_admission_skips_completed_docs(spark, docs_df, tmp_path, monkeyp
     spark.createDataFrame(kept, schema=lineage._LINEAGE_SCHEMA).write.parquet(lin_path)
 
     seen = {}
-    real_admit = lineage.admit_documents
+    real_ranked = lineage._routed_ranked
 
     def spy(docs):
         seen["n_input"] = docs.count()
-        return real_admit(docs)
+        return real_ranked(docs)
 
-    monkeypatch.setattr(lineage, "admit_documents", spy)
+    monkeypatch.setattr(lineage, "_routed_ranked", spy)
     expected = {n: _rows(spark, root, n) for n in lineage.OUTPUT_TABLES}
     s = lineage.run_with_lineage(spark, docs_df, root, "resume", N_BUCKETS)
     assert s["buckets_skipped"] == N_BUCKETS // 2
