@@ -90,6 +90,35 @@ FROM documents
 """
 
 
+def q_pdf_ingest_filter(spark, sf_dir):
+    """P6 file-type predicate at ingest (views/core.py:617): only files
+    whose lowercased name ends in '.pdf' are admitted. Upload filenames are
+    synthesized deterministically per doc (the testdata carries no name
+    column): extension cycles pdf/PDF/docx/txt/pdf by doc_id%5, so both
+    the case-folding and the rejection branch are exercised. Admitted docs
+    are returned with their names; the predicate runs before any content
+    work, so at scale it prunes at the scan."""
+    docs = _t(spark, sf_dir, "documents")
+    ext = F.element_at(
+        F.array(F.lit("pdf"), F.lit("PDF"), F.lit("docx"), F.lit("txt"), F.lit("pdf")),
+        (F.col("doc_id") % 5 + 1).cast("int"),
+    )
+    named = docs.select(
+        "doc_id", F.concat(F.lit("upload_"), F.col("doc_id").cast("string"), F.lit("."), ext).alias("name")
+    )
+    return named.where(F.lower(F.col("name")).endswith(".pdf"))
+
+
+SQL_PDF_INGEST_FILTER = """
+WITH named AS (
+  SELECT doc_id,
+         'upload_' || doc_id || '.' ||
+         (['pdf','PDF','docx','txt','pdf'])[(doc_id % 5)::INT + 1] AS name
+  FROM documents)
+SELECT doc_id, name FROM named WHERE lower(name) LIKE '%.pdf'
+"""
+
+
 def q_heat_correction(spark, sf_dir):
     """R13 OCR-correction map (posco_corrections.py:27-47) over synthesized
     heat numbers derived deterministically from doc_id."""
@@ -1291,6 +1320,7 @@ ANALYTIC_QUERIES: dict[str, tuple] = {
     "regex_token_extract": (q_regex_token_extract, SQL_REGEX_TOKEN_EXTRACT),
     "exact_dedup_md5": (q_exact_dedup_md5, SQL_EXACT_DEDUP_MD5),
     "filename_sanitize": (q_filename_sanitize, SQL_FILENAME_SANITIZE),
+    "pdf_ingest_filter": (q_pdf_ingest_filter, SQL_PDF_INGEST_FILTER),
     "heat_correction": (q_heat_correction, SQL_HEAT_CORRECTION),
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
     "ocr_gate_buckets": (q_ocr_gate_buckets, SQL_OCR_GATE_BUCKETS),

@@ -45,6 +45,10 @@ def get_spark(
             executor_mem = int(master.split(",")[2].rstrip("]").strip())
         except (IndexError, ValueError):
             executor_mem = None
+        try:
+            executor_cores = int(master.split(",")[1].strip())
+        except (IndexError, ValueError):
+            executor_cores = None
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     builder = (
         SparkSession.builder.master(master)
@@ -64,6 +68,19 @@ def get_spark(
     )
     if executor_mem:
         builder = builder.config("spark.executor.memory", f"{executor_mem}m")
+    if master.startswith("local-cluster") and executor_cores:
+        # Each executor JVM must size its internal pools (GC/JIT/common
+        # ForkJoinPool) to its CORE SHARE, not the whole machine: without
+        # this, w executors on an m-core box each spawn ~m-sized GC/compiler
+        # thread pools (w*~23 GC threads at m=32), and allocation-heavy
+        # stages collapse under oversubscription exactly at the larger
+        # cluster level — the scaling bench's 4N regression. On a real
+        # cluster YARN/k8s cgroup limits make the JVM see the right count;
+        # local-cluster workers see the bare machine, so pin it.
+        builder = builder.config(
+            "spark.executor.extraJavaOptions",
+            f"-XX:ActiveProcessorCount={executor_cores}",
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

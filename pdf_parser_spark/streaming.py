@@ -195,3 +195,105 @@ def read_stream_output(spark: SparkSession, root: str, name: str) -> DataFrame:
     roots = _table_roots(root, name)
     frames = [read_output(spark, r, name) for r in roots]
     return reduce(DataFrame.unionByName, frames)
+
+
+# --------------------------------------------------------------------------
+# Stateful status tracking (applyInPandasWithState)
+# --------------------------------------------------------------------------
+
+# The reference's only cross-request state is the per-document status
+# machine PENDING→PROCESSING→COMPLETED/ERROR (models/__init__.py:22-27,
+# written at tasks.py:139,171,219) plus the stuck-document recovery path:
+# tasks run under a 300 s hard limit and documents stuck in
+# PENDING/PROCESSING are retried / surfaced as failed (views.py:263-283).
+# Streamed over an upload-event log, that is exactly a keyed stateful
+# operator: state per doc_id, terminal statuses close the key, and a
+# processing-time timeout converts stalls into ERROR rows.
+
+STATUS_RANK = {"PENDING": 0, "PROCESSING": 1, "COMPLETED": 2, "ERROR": 2}
+_TERMINAL = ("COMPLETED", "ERROR")
+
+_STATUS_OUT_SCHEMA = (
+    "doc_id string, status string, reason string, n_events bigint, "
+    "first_ts bigint, last_ts bigint"
+)
+_STATUS_STATE_SCHEMA = "status string, n_events bigint, first_ts bigint, last_ts bigint"
+
+
+def _status_update(key, pdfs, state):
+    """applyInPandasWithState update fn — module-level so the pure-Python
+    transition/timeout logic is unit-testable without a streaming query.
+    State tuple: (status, n_events, first_ts, last_ts); ts = epoch seconds.
+
+    Transitions are rank-monotone (a late PENDING after PROCESSING does not
+    regress the doc — event-time disorder across micro-batches is expected);
+    a terminal status emits the final row and removes state; a processing-
+    time timeout on a non-terminal doc emits ERROR('timeout'), the streaming
+    analog of the reference's hard task limit."""
+    import pandas as pd
+
+    (doc_id,) = key
+    if state.hasTimedOut:
+        status, n, first_ts, last_ts = state.get
+        state.remove()
+        yield pd.DataFrame(
+            [
+                {
+                    "doc_id": doc_id,
+                    "status": "ERROR",
+                    "reason": "timeout",
+                    "n_events": n,
+                    "first_ts": first_ts,
+                    "last_ts": last_ts,
+                }
+            ]
+        )
+        return
+
+    status, n, first_ts, last_ts = state.get if state.exists else (None, 0, None, None)
+    for pdf in pdfs:
+        for r in pdf.sort_values("ts").itertuples():
+            ts = int(r.ts)
+            n += 1
+            first_ts = ts if first_ts is None else min(first_ts, ts)
+            last_ts = ts if last_ts is None else max(last_ts, ts)
+            if status is None or STATUS_RANK.get(r.status, -1) >= STATUS_RANK.get(status, -1):
+                status = r.status
+
+    if status in _TERMINAL:
+        state.remove()
+    else:
+        state.update((status, n, first_ts, last_ts))
+        state.setTimeoutDuration(300_000)  # tasks.py hard task limit
+    yield pd.DataFrame(
+        [
+            {
+                "doc_id": doc_id,
+                "status": status,
+                "reason": None,
+                "n_events": n,
+                "first_ts": first_ts,
+                "last_ts": last_ts,
+            }
+        ]
+    )
+
+
+def doc_status_stream(events: DataFrame) -> DataFrame:
+    """Keyed stateful status rollup over a streaming event log with columns
+    (doc_id string, status string, ts bigint). Returns the per-doc current
+    status after each micro-batch (output mode ``update``); terminal docs
+    close their state, stalled docs ERROR out via processing-time timeout.
+
+    Scale shape: state is one tiny tuple per in-flight doc (completed docs
+    leave the store), partitioned by doc_id hash — the same key the rest of
+    the engine shuffles on."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy("doc_id").applyInPandasWithState(
+        _status_update,
+        _STATUS_OUT_SCHEMA,
+        _STATUS_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -211,31 +211,37 @@ def _jvm_rx(p: str) -> str:
     return "(?i)" + p
 
 
-def detection_text_col(spans_col: str = "spans") -> Column:
-    """JVM HOF form of ``detection_text`` — no shuffle, no Python."""
-    pages = F.slice(
-        F.array_sort(
-            F.array_distinct(
-                F.transform(
-                    F.filter(F.col(spans_col), lambda s: s["kind"] == "text"),
-                    lambda s: (s["offset"] / 1000).cast("int"),
-                )
-            )
-        ),
-        1,
-        DETECTION_MAX_PAGES,
-    )
-    sorted_text_spans = F.array_sort(
+def sorted_text_spans_col(spans_col: str = "spans") -> Column:
+    """(offset, text) structs of the text spans, offset-sorted — the shared
+    input of the detection-text framing. Callers should materialize this
+    ONCE as a named column: HOF trees run interpreted with no
+    common-subexpression elimination, so every *expression* reference
+    re-filters and re-sorts the whole span array per row."""
+    return F.array_sort(
         F.transform(
             F.filter(F.col(spans_col), lambda s: s["kind"] == "text"),
             lambda s: F.struct(s["offset"].alias("offset"), s["text"].alias("text")),
         )
     )
 
+
+def framed_text_col(tspans: Column) -> Column:
+    """First-3-pages framed detection text from a PREPARED (named-column)
+    sorted text-span array — the JVM form of ``detection_text``'s framing.
+    ``tspans`` is an attribute reference, so the per-page passes below scan
+    a materialized array instead of re-deriving it."""
+    # tspans is offset-sorted, so page ids arrive nondecreasing and
+    # array_distinct alone yields them sorted — no extra sort pass.
+    pages = F.slice(
+        F.array_distinct(F.transform(tspans, lambda s: (s["offset"] / 1000).cast("int"))),
+        1,
+        DETECTION_MAX_PAGES,
+    )
+
     def page_text(p):
         return F.array_join(
             F.transform(
-                F.filter(sorted_text_spans, lambda s: (s["offset"] / 1000).cast("int") == p),
+                F.filter(tspans, lambda s: (s["offset"] / 1000).cast("int") == p),
                 lambda s: s["text"],
             ),
             "\n",
@@ -254,6 +260,13 @@ def detection_text_col(spans_col: str = "spans") -> Column:
         ),
     )
     return F.array_join(pieces, "\n\n")
+
+
+def detection_text_col(spans_col: str = "spans") -> Column:
+    """JVM HOF form of ``detection_text`` — no shuffle, no Python. Single
+    self-contained expression; prefer sorted_text_spans_col + framed_text_col
+    staged as named columns on hot paths (route_columns does)."""
+    return framed_text_col(sorted_text_spans_col(spans_col))
 
 
 def _map_detected(detected: Column) -> Column:
@@ -294,8 +307,18 @@ def route_columns(docs: DataFrame) -> DataFrame:
         )
     )
     d = docs.withColumn("_pre", whole_text.rlike(all_pos))
+    # Sorted text spans materialize ONCE (named column, own projection);
+    # the framing's per-page passes then scan that array instead of
+    # re-filtering + re-sorting the raw spans up to 4x per row. Empty for
+    # prefilter-negative rows, so the sort runs only where detection will.
+    d = d.select(
+        "*",
+        F.when(F.col("_pre"), sorted_text_spans_col())
+        .otherwise(F.array().cast("array<struct<offset:int,text:string>>"))
+        .alias("_tspans"),
+    )
     d = d.withColumn(
-        "_dt", F.when(F.col("_pre"), detection_text_col()).otherwise(F.lit(""))
+        "_dt", F.when(F.col("_pre"), framed_text_col(F.col("_tspans"))).otherwise(F.lit(""))
     )
     # ONE reference to _dt per projection level: the detection-text HOF tree
     # runs interpreted (no codegen, no common-subexpression elimination), and
@@ -324,7 +347,7 @@ def route_columns(docs: DataFrame) -> DataFrame:
 
     # Stage 2: scores (pure arithmetic over attribute refs — cheap to copy).
     scores: dict[str, Column] = {}
-    helper_cols = ["_pre", "_dt", "_lt", "_tlen"]
+    helper_cols = ["_pre", "_tspans", "_dt", "_lt", "_tlen"]
     for vendor_id, config in VENDOR_PATTERNS.items():
         mc = None
         raw = None

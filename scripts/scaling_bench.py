@@ -36,8 +36,17 @@ def run_level(cpus: int, sf: float) -> dict:
         SPARK_GRAFT_SF_DIR=f"/root/testdata/sf{sf}",
         SPARK_GRAFT_QUERIES="extract_pipeline",
     )
+    # taskset confines the WHOLE level (driver + executors + python
+    # workers) to exactly `cpus` hardware cores. Without it the small
+    # level's JVM service threads (GC, JIT) and python workers spill onto
+    # the machine's idle cores, overstating small-level throughput and
+    # understating efficiency — a cluster of N cores has no idle
+    # neighbors to borrow.
+    cmd = [sys.executable, os.path.join(REPO, "bench.py")]
+    if cpus < (os.cpu_count() or cpus):
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
     out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
+        cmd,
         env=env,
         capture_output=True,
         text=True,

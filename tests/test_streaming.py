@@ -97,3 +97,118 @@ def test_stream_matches_batch_and_resumes(spark, dirs):
     q3.awaitTermination(300)
     rows3 = _stream_rows(spark, out)
     assert rows3 == stream_rows  # nothing new admitted
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for unit-testing _status_update."""
+
+    def __init__(self, value=None, timed_out=False):
+        self._v = value
+        self.hasTimedOut = timed_out
+        self.removed = False
+        self.timeout_ms = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def remove(self):
+        self.removed = True
+        self._v = None
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_ms = ms
+
+
+def _run_update(doc_id, rows, state):
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=["doc_id", "status", "ts"])
+    out = list(streaming._status_update((doc_id,), iter([pdf] if rows else []), state))
+    return pd.concat(out).to_dict("records")
+
+
+def test_status_update_transitions_and_terminal():
+    st = _FakeState()
+    [r] = _run_update("d1", [("d1", "PENDING", 10), ("d1", "PROCESSING", 20)], st)
+    assert r["status"] == "PROCESSING" and r["n_events"] == 2
+    assert st.exists and not st.removed and st.timeout_ms == 300_000
+
+    # late PENDING must not regress; COMPLETED closes the key
+    [r2] = _run_update(
+        "d1", [("d1", "PENDING", 5), ("d1", "COMPLETED", 30)], _FakeState(st.get)
+    )
+    assert r2["status"] == "COMPLETED"
+    assert r2["n_events"] == 4 and r2["first_ts"] == 5 and r2["last_ts"] == 30
+
+
+def test_status_update_timeout_emits_error():
+    st = _FakeState(("PROCESSING", 3, 10, 20), timed_out=True)
+    [r] = _run_update("d2", [], st)
+    assert r["status"] == "ERROR" and r["reason"] == "timeout"
+    assert r["n_events"] == 3 and st.removed
+
+
+def test_doc_status_stream_over_micro_batches(spark, tmp_path):
+    """End-to-end applyInPandasWithState: state must carry across
+    micro-batches (maxFilesPerTrigger=1 → one batch per file) and terminal
+    docs must emit their final row."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    evdir = tmp_path / "events"
+    evdir.mkdir()
+    schema = pa.schema(
+        [pa.field("doc_id", pa.string()), pa.field("status", pa.string()), pa.field("ts", pa.int64())]
+    )
+    pq.write_table(
+        pa.Table.from_pylist(
+            [
+                {"doc_id": "a", "status": "PENDING", "ts": 1},
+                {"doc_id": "b", "status": "PENDING", "ts": 2},
+            ],
+            schema=schema,
+        ),
+        str(evdir / "b0.parquet"),
+    )
+    pq.write_table(
+        pa.Table.from_pylist(
+            [
+                {"doc_id": "a", "status": "PROCESSING", "ts": 3},
+                {"doc_id": "a", "status": "COMPLETED", "ts": 4},
+            ],
+            schema=schema,
+        ),
+        str(evdir / "b1.parquet"),
+    )
+
+    events = (
+        spark.readStream.schema("doc_id string, status string, ts long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(evdir))
+    )
+    q = (
+        streaming.doc_status_stream(events)
+        .writeStream.format("memory")
+        .queryName("doc_status")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = {
+        (r["doc_id"], r["status"]): r
+        for r in spark.sql("select * from doc_status").collect()
+    }
+    final_a = rows[("a", "COMPLETED")]
+    # state carried across batches: both batch-1 events plus batch-0's
+    assert final_a["n_events"] == 3 and final_a["first_ts"] == 1 and final_a["last_ts"] == 4
+    assert ("b", "PENDING") in rows  # non-terminal doc reported, state kept
