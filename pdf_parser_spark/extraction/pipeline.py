@@ -515,18 +515,20 @@ def run_pipeline(
     from .reports import master_log_frame
 
     if admit:
-        # One span-bytes shuffle total: pin BOTH sides of the admission
-        # join to the same hash partitioning on doc_id (width = the same
-        # 4x-cores the page salt used), so the join needs no further
-        # exchange, the page explode happens in place, and the kernel UDF
-        # inherits the pinned width. Skew moves from page- to doc-
-        # granularity, bounded by pages-per-doc (GIANT_PAGES * ~ms of
-        # kernel time ≈ 100 ms — noise at task scale). The downstream
-        # entries groupBy(doc_id, vendor) also reuses this partitioning.
+        # One span-bytes shuffle total: pin the PAYLOAD side of the
+        # admission join to hash partitioning on doc_id (width = the same
+        # 4x-cores the page salt used), so the page explode happens in
+        # place and the kernel UDF inherits the pinned width. Skew moves
+        # from page- to doc-granularity, bounded by pages-per-doc
+        # (GIANT_PAGES * ~ms of kernel time ≈ 100 ms — noise at task
+        # scale). The slim winner side is NOT manually repartitioned: the
+        # join plans its own exchange to match the payload's partitioning
+        # when it sort-merges, and skips it entirely when AQE broadcasts
+        # the winner set — a manual repartition would pay that exchange
+        # even in the broadcast case.
         width = spark.sparkContext.defaultParallelism * 4
         if winners is None:
             winners = admission_winners(docs)
-        winners = winners.repartition(width, "doc_id")
         big = docs.repartition(width, "doc_id")
         admitted = big.join(winners, "doc_id").select(
             "doc_id", F.col("eff_vendor").alias("vendor"), "file_hash", "spans"

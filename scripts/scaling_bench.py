@@ -31,7 +31,14 @@ def run_level(cpus: int, sf: float) -> dict:
     env = dict(
         os.environ,
         SPARK_GRAFT_MASTER=f"local-cluster[{n_exec},4,12288]",
-        SPARK_LOCAL_DIRS=os.environ.get("SPARK_GRAFT_SHUFFLE_DIR", "/tmp"),
+        # Shuffle MUST land on the ramdisk: /tmp sits on one slow virtual
+        # disk that collapses under concurrent shuffle writers, and it hits
+        # the 8-writer level far harder than the 2-writer level — measured
+        # 90.9 s vs 49.1 s for the identical 32-core job (/tmp vs /dev/shm),
+        # turning a scaling measurement into a disk-contention measurement.
+        # Real cluster executors each get their own local NVMe; the ramdisk
+        # is this sandbox's only storage with that per-writer behavior.
+        SPARK_LOCAL_DIRS=os.environ.get("SPARK_GRAFT_SHUFFLE_DIR", "/dev/shm/sparktmp"),
         SPARK_GRAFT_CPUS=str(cpus),
         SPARK_GRAFT_SF_DIR=f"/root/testdata/sf{sf}",
         SPARK_GRAFT_QUERIES="extract_pipeline",
