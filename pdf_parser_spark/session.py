@@ -77,10 +77,16 @@ def get_spark(
         # cluster level — the scaling bench's 4N regression. On a real
         # cluster YARN/k8s cgroup limits make the JVM see the right count;
         # local-cluster workers see the bare machine, so pin it.
-        builder = builder.config(
-            "spark.executor.extraJavaOptions",
-            f"-XX:ActiveProcessorCount={executor_cores}",
-        )
+        java_opts = f"-XX:ActiveProcessorCount={executor_cores}"
+        extra_java = os.environ.get("SPARK_GRAFT_EXEC_JAVA_OPTS", "")
+        if extra_java:
+            java_opts = f"{java_opts} {extra_java}"
+        builder = builder.config("spark.executor.extraJavaOptions", java_opts)
+    # Extra executor-process environment (inherited by Python workers), e.g.
+    # glibc malloc tuning: SPARK_GRAFT_EXEC_ENV="MALLOC_MMAP_THRESHOLD_=...,K=V"
+    for kv in filter(None, os.environ.get("SPARK_GRAFT_EXEC_ENV", "").split(",")):
+        k, _, v = kv.partition("=")
+        builder = builder.config(f"spark.executorEnv.{k}", v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
