@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from pdf_parser_spark import driver_contract
 from pdf_parser_spark.analytics import ANALYTIC_QUERIES
+from pdf_parser_spark.boilerplate import BOILERPLATE_QUERIES
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -34,6 +35,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(driver_contract.pipeline_query_fns())
     for name, (fn, _sql) in ANALYTIC_QUERIES.items():
         out[name] = fn
+    for name, (fn, _sql) in BOILERPLATE_QUERIES.items():
+        out[name] = fn
     return out
 
 
@@ -46,4 +49,6 @@ def oracle_sql() -> dict[str, str]:
     for name, (_fn, sql) in ANALYTIC_QUERIES.items():
         if sql is not None:
             out[name] = sql if isinstance(sql, str) else sql(correctness_sf)
+    for name, (_fn, sql) in BOILERPLATE_QUERIES.items():
+        out[name] = sql if isinstance(sql, str) else sql(correctness_sf)
     return out
