@@ -146,7 +146,10 @@ def py_blocks(docs: list[dict]) -> list[dict]:
             words = _py_wc(text)
             if words == 0:
                 continue
-            link_words = sum(_py_wc(_py_clean(a)) for a in _PY_ANCHOR.findall(raw))
+            # One clean+count over the space-joined anchor bodies: the join
+            # can't merge tokens (space-separated) or form new tags (raw '<'
+            # only opens tags on this input — entities carry literal '<').
+            link_words = _py_wc(_py_clean(" ".join(_PY_ANCHOR.findall(raw))))
             feats.append((words, link_words, link_words / words, text))
         for i, (words, link_words, ld, text) in enumerate(feats):
             pw, pld = (feats[i - 1][0], feats[i - 1][2]) if i > 0 else (0, 0.0)
@@ -207,14 +210,7 @@ def spark_blocks(html_docs: DataFrame) -> DataFrame:
         raw_blocks.withColumn("text", _clean_col(F.col("raw")))
         .withColumn("words", _wc_col(F.col("text")))
         .where(F.col("words") > 0)
-        .withColumn(
-            "link_words",
-            F.aggregate(
-                F.transform(anchor_arr, lambda a: _wc_col(_clean_col(a))),
-                F.lit(0),
-                lambda acc, x: acc + x,
-            ),
-        )
+        .withColumn("link_words", _wc_col(_clean_col(F.array_join(anchor_arr, " "))))
         .withColumn("link_density", F.col("link_words").cast("double") / F.col("words"))
         .drop("raw")
     )
@@ -419,7 +415,14 @@ def _read_html(spark, sf_dir: str) -> DataFrame:
 
     sf = sf_of(sf_dir)
     ensure_html_corpus(sf, with_expected=False)
-    return spark.read.parquet(corpus_path(sf))
+    # The cached corpus is one small parquet file → one scan partition, but
+    # the downstream cost is regex CPU per document, not bytes: spread the
+    # doc rows across the session's cores before the tokenize stage (on a
+    # real corpus the scan itself is already wide; this mirrors tuning
+    # files.maxPartitionBytes down for CPU-heavy columns).
+    return spark.read.parquet(corpus_path(sf)).repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
 
 def q_boilerplate_blocks(spark, sf_dir: str) -> DataFrame:
