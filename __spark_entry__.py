@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pdf_parser_spark import driver_contract
 from pdf_parser_spark.analytics import ANALYTIC_QUERIES
 from pdf_parser_spark.boilerplate import BOILERPLATE_QUERIES
+from pdf_parser_spark.datapipe import DATAPIPE_QUERIES
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -37,6 +38,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out[name] = fn
     for name, (fn, _sql) in BOILERPLATE_QUERIES.items():
         out[name] = fn
+    for name, (fn, _sql) in DATAPIPE_QUERIES.items():
+        out[name] = fn
     return out
 
 
@@ -50,5 +53,7 @@ def oracle_sql() -> dict[str, str]:
         if sql is not None:
             out[name] = sql if isinstance(sql, str) else sql(correctness_sf)
     for name, (_fn, sql) in BOILERPLATE_QUERIES.items():
+        out[name] = sql if isinstance(sql, str) else sql(correctness_sf)
+    for name, (_fn, sql) in DATAPIPE_QUERIES.items():
         out[name] = sql if isinstance(sql, str) else sql(correctness_sf)
     return out

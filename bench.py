@@ -118,14 +118,18 @@ def main() -> None:
         driver_contract.ensure_corpus(driver_contract.sf_of(sf_dir), with_expected=False)
 
     from pdf_parser_spark.boilerplate import BOILERPLATE_QUERIES, ensure_html_corpus
+    from pdf_parser_spark.datapipe import DATAPIPE_QUERIES, ensure_text_corpus
     from pdf_parser_spark.driver_contract import sf_of
 
     if wanted is None or any(q in wanted for q in BOILERPLATE_QUERIES):
         # Pre-build the HTML corpus parquet (same cold-cache rule as above).
         ensure_html_corpus(sf_of(sf_dir), with_expected=False)
+    if wanted is None or any(q in wanted for q in DATAPIPE_QUERIES):
+        ensure_text_corpus(sf_of(sf_dir))
 
     all_queries = dict(ANALYTIC_QUERIES)
     all_queries.update(BOILERPLATE_QUERIES)
+    all_queries.update(DATAPIPE_QUERIES)
     for name, (fn, _sql) in all_queries.items():
         if wanted is not None and name not in wanted:
             continue

@@ -510,25 +510,20 @@ GROUP BY field_key
 MINHASH_BUCKET_CAP = 1000
 
 
-def minhash_band_pairs(docs: DataFrame, cap: int = MINHASH_BUCKET_CAP) -> DataFrame:
-    """MinHash+LSH near-dup candidates over ``docs(doc_id, text)``: per
-    (doc, band) signature = min(md5(token)) 8-hex slice over the
-    distinct-token set; docs sharing a (band, sig) bucket are candidates.
-    Count-first hot-bucket guard: bucket sizes are aggregated before the
-    self-join, and only buckets with size <= cap join (pair output is
-    bounded by cap²/2 per bucket); hot buckets surface in the
-    n_hot_buckets / n_hot_docs columns."""
+def minhash_sigs(docs: DataFrame) -> DataFrame:
+    """Per-(doc, band) MinHash signature over the distinct-token set:
+    band b's hash = the b-th disjoint 8-hex-char slice of md5(token)
+    (4 independent 32-bit minhashes for the price of one digest, and no
+    4x row explode before the aggregate). Shared by the LSH candidate
+    counter and the near-dup component clustering (datapipe.py)."""
     toks = docs.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
     )
-    # One md5 per token; band b's hash = the b-th disjoint 8-hex-char slice
-    # (4 independent 32-bit minhashes for the price of one digest, and no
-    # 4x row explode before the aggregate).
     h = F.md5("token")
     grouped = toks.groupBy("doc_id").agg(
         *[F.min(F.substring(h, b * 8 + 1, 8)).alias(f"s{b}") for b in range(4)]
     )
-    sigs = grouped.select(
+    return grouped.select(
         "doc_id",
         F.explode(
             F.array(
@@ -539,6 +534,16 @@ def minhash_band_pairs(docs: DataFrame, cap: int = MINHASH_BUCKET_CAP) -> DataFr
             )
         ).alias("bs"),
     ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+
+
+def minhash_band_pairs(docs: DataFrame, cap: int = MINHASH_BUCKET_CAP) -> DataFrame:
+    """MinHash+LSH near-dup candidates over ``docs(doc_id, text)``: docs
+    sharing a (band, sig) bucket are candidates. Count-first hot-bucket
+    guard: bucket sizes are aggregated before the self-join, and only
+    buckets with size <= cap join (pair output is bounded by cap²/2 per
+    bucket); hot buckets surface in the n_hot_buckets / n_hot_docs
+    columns."""
+    sigs = minhash_sigs(docs)
     # Count-first: one extra aggregation on the same (band, sig) key the
     # self-join shuffles on, so no additional exchange of the sigs table.
     counts = sigs.groupBy("band", "sig").agg(F.count(F.lit(1)).alias("c"))

