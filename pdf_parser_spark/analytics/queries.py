@@ -370,6 +370,58 @@ SELECT user_id, date_part('year', ts)::BIGINT AS y, date_part('month', ts)::BIGI
 FROM events GROUP BY 1, 2, 3, 4
 """
 
+SESSION_GAP_S = 1800
+
+
+def q_event_sessions(spark, sf_dir):
+    """Sessionization: per user, events are grouped into sessions split at
+    >30 min inactivity gaps — the lag-flag + running-sum formulation (one
+    shuffle on user_id; both windows share that partitioning so Spark
+    plans a single exchange + sort). This is the batch shape of the
+    streaming session-window operator; state per user is one timestamp."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("et")
+    )
+    w = Window.partitionBy("user_id").orderBy("et", "event_id")
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(
+            F.col("et") - F.lag("et").over(w) > SESSION_GAP_S, F.lit(1)
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "session_id",
+        F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return flagged.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("et").alias("start_et"),
+        F.max("et").alias("end_et"),
+        (F.max("et") - F.min("et")).alias("duration_s"),
+    )
+
+
+SQL_EVENT_SESSIONS = f"""
+WITH e AS (
+  SELECT user_id, event_id, floor(epoch(ts))::BIGINT AS et FROM events
+), f AS (
+  SELECT user_id, event_id, et,
+         CASE WHEN et - lag(et) OVER (PARTITION BY user_id ORDER BY et, event_id)
+                   > {SESSION_GAP_S} THEN 1 ELSE 0 END AS new_sess
+  FROM e
+), s AS (
+  SELECT user_id, et,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY et, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM f
+)
+SELECT user_id, session_id, count(*)::BIGINT AS n_events,
+       MIN(et) AS start_et, MAX(et) AS end_et,
+       (MAX(et) - MIN(et))::BIGINT AS duration_s
+FROM s GROUP BY user_id, session_id
+"""
+
 
 def q_range_join_nearest(spark, sf_dir):
     """J5/T7 tolerance range join + nearest-wins window: for each error
@@ -518,10 +570,9 @@ def minhash_sigs(docs: DataFrame) -> DataFrame:
     counter and the near-dup component clustering (datapipe.py)."""
     toks = docs.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
-    )
-    h = F.md5("token")
+    ).select("doc_id", F.md5("token").alias("h"))
     grouped = toks.groupBy("doc_id").agg(
-        *[F.min(F.substring(h, b * 8 + 1, 8)).alias(f"s{b}") for b in range(4)]
+        *[F.min(F.substring("h", b * 8 + 1, 8)).alias(f"s{b}") for b in range(4)]
     )
     return grouped.select(
         "doc_id",
@@ -592,11 +643,15 @@ def q_simhash(spark, sf_dir):
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     # All 16 bit votes as columns of one row (no 16x explode): vote_b is the
     # parity of the b-th md5 hex digit; one groupBy sums them all at once.
-    h = F.md5("token")
-    votes = toks.select(
+    # The digest is materialized in its own projection first — referencing
+    # F.md5 inside each vote would inline 16 md5 calls into one generated
+    # function (CollapseProject keeps the barrier because the reused expr
+    # is non-cheap), doubling whole-stage-codegen JIT time on first run.
+    hashed = toks.select("doc_id", F.substring(F.md5("token"), 1, 16).alias("h"))
+    votes = hashed.select(
         "doc_id",
         *[
-            F.when(F.ascii(F.substring(h, b + 1, 1)) % 2 == 1, F.lit(1))
+            F.when(F.ascii(F.substring("h", b + 1, 1)) % 2 == 1, F.lit(1))
             .otherwise(F.lit(-1))
             .alias(f"v{b}")
             for b in range(16)
@@ -1334,6 +1389,7 @@ ANALYTIC_QUERIES: dict[str, tuple] = {
     "shipping_priority": (q_shipping_priority, SQL_SHIPPING_PRIORITY),
     "revenue_by_nation": (q_revenue_by_nation, SQL_REVENUE_BY_NATION),
     "user_daily_activity": (q_user_daily_activity, SQL_USER_DAILY_ACTIVITY),
+    "event_sessions": (q_event_sessions, SQL_EVENT_SESSIONS),
     "range_join_nearest": (q_range_join_nearest, SQL_RANGE_JOIN_NEAREST),
     "positional_zip_join": (q_positional_zip_join, SQL_POSITIONAL_ZIP_JOIN),
     "anti_join_new_docs": (q_anti_join_new_docs, SQL_ANTI_JOIN_NEW_DOCS),

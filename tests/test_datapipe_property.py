@@ -1,0 +1,83 @@
+"""Property-based Spark-vs-DuckDB equality for the datapipe operators:
+random documents tables (not just the driver's word-soup shapes) must
+produce identical results from both engines.
+
+Adversarial shapes: 1-word docs, exact 4/5-word n-gram boundaries,
+byte-identical duplicate texts (forces LSH buckets + Jaccard 1.0 edges),
+shared prefixes, uneven sources. Few examples — each runs six Spark
+queries — but every example is a full two-engine differential."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pdf_parser_spark import datapipe as dp
+
+VOCAB = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+
+OPS = [
+    "stratified_sample",
+    "pack_sequences",
+    "dup_ngram_fraction",
+    "gopher_quality",
+    "bpe_token_count",
+    "near_dup_components",
+]
+
+
+@st.composite
+def docs_st(draw):
+    n = draw(st.integers(4, 24))
+    rows = []
+    texts = []
+    for i in range(n):
+        if texts and draw(st.booleans()) and draw(st.booleans()):
+            text = draw(st.sampled_from(texts))  # exact duplicate
+        else:
+            k = draw(st.integers(1, 12))
+            text = " ".join(draw(st.sampled_from(VOCAB)) for _ in range(k))
+        texts.append(text)
+        rows.append(
+            {
+                "doc_id": i,
+                "text": text,
+                "lang": draw(st.sampled_from(["en", "zh", "de"])),
+                "source": f"src{draw(st.integers(0, 3))}",
+                "n_chars": len(text),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pdf=docs_st())
+def test_datapipe_differential_random(spark, tmp_path_factory, pdf):
+    tmp = tmp_path_factory.mktemp("dpprop")
+    pdf.to_parquet(tmp / "documents.parquet", index=False)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp / 'documents.parquet'}'"
+    )
+    for name in OPS:
+        fn, sql = dp.DATAPIPE_QUERIES[name]
+        if callable(sql):
+            sql = sql("prop")
+        want = con.execute(sql).fetchdf()
+        cols = sorted(want.columns)
+        got = (
+            fn(spark, str(tmp))
+            .toPandas()[cols]
+            .astype(str)
+            .sort_values(cols)
+            .reset_index(drop=True)
+        )
+        want = want[cols].astype(str).sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, obj=name)
