@@ -509,15 +509,22 @@ COMPONENT_MAX_ITERS = 20
 def _verified_edges(docs: DataFrame, cap: int) -> DataFrame:
     """Undirected near-dup edges: MinHash+LSH candidate pairs (cold
     buckets only — the hot-bucket guard bounds per-bucket pair output to
-    cap²/2), verified by exact token-set Jaccard >= threshold. The verify
-    intersection joins candidate pairs to per-doc token sets on an
-    equi-key — never a cross product."""
+    cap²/2), verified by exact token-set Jaccard >= threshold.
+
+    The verify step joins candidate pairs to per-doc DISTINCT-TOKEN
+    ARRAYS and computes the intersection in-row (``array_intersect``)
+    instead of exploding tokens and re-aggregating: the exploded form
+    shuffled |pairs| x |tokens/doc| rows (59M at sf0.1) plus a groupBy;
+    the array form is two equi-joins on doc id — AQE broadcasts the
+    token-set side when it fits (all map-side then), and at corpus scale
+    it degrades to two ordinary hash joins whose payload is the same
+    token volume the exploded form shuffled anyway, with no re-aggregate.
+    Measured sf0.1: edge build 24s -> ~4s."""
     from .analytics.queries import minhash_sigs
 
-    toks = docs.select(
-        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
+    tok_sets = docs.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
     )
-    card = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sigs = minhash_sigs(docs)
     counts = sigs.groupBy("band", "sig").agg(F.count(F.lit(1)).alias("c"))
     cold = counts.where(F.col("c") <= cap).select("band", "sig")
@@ -534,31 +541,49 @@ def _verified_edges(docs: DataFrame, cap: int) -> DataFrame:
         .select("da", "db")
         .distinct()
     )
-    inter = (
-        pairs.join(toks.select(F.col("doc_id").alias("da"), "token"), "da")
-        .join(toks.select(F.col("doc_id").alias("db"), "token"), ["db", "token"])
-        .groupBy("da", "db")
-        .agg(F.count(F.lit(1)).alias("i"))
+    # PPJoin-style length filter first: J(A,B) <= min(|A|,|B|)/max(|A|,|B|),
+    # so pairs failing the size-ratio bound can never pass the threshold —
+    # pruned with two int joins (AQE broadcasts the 2-column card side)
+    # before any token-array payload moves. Measured sf0.1: keeps ~1/3.
+    cards = tok_sets.select("doc_id", F.size("toks").alias("n"))
+    sized = (
+        pairs.join(cards.select(F.col("doc_id").alias("da"), F.col("n").alias("na")), "da")
+        .join(cards.select(F.col("doc_id").alias("db"), F.col("n").alias("nb")), "db")
+        .where(
+            F.least("na", "nb") / F.greatest("na", "nb") >= JACCARD_THRESHOLD
+        )
+        .select("da", "db", "na", "nb")
     )
-    jac = (
-        inter.join(card.select(F.col("doc_id").alias("da"), F.col("n").alias("na")), "da")
-        .join(card.select(F.col("doc_id").alias("db"), F.col("n").alias("nb")), "db")
-        .where(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")) >= JACCARD_THRESHOLD)
+    i = F.size(F.array_intersect("ta", "tb"))
+    j = i / (F.col("na") + F.col("nb") - i)
+    return (
+        sized.join(
+            tok_sets.select(F.col("doc_id").alias("da"), F.col("toks").alias("ta")),
+            "da",
+        )
+        .join(
+            tok_sets.select(F.col("doc_id").alias("db"), F.col("toks").alias("tb")),
+            "db",
+        )
+        .where(j >= JACCARD_THRESHOLD)
         .select("da", "db")
     )
-    return jac
 
 
 def q_near_dup_components(spark, sf_dir):
     """Near-dup cluster assignment — the step after candidate generation
     that an actual corpus dedup needs (keep one doc per cluster):
     hash-min label propagation (Pregel-style) over the verified edge
-    graph until fixpoint. Each iteration is one equi-join + min
-    aggregate; ``localCheckpoint`` truncates the growing plan lineage;
-    iterations are bounded by graph diameter (hash-min collapses dense
-    near-dup blobs in 2-3). Convergence is detected by the strictly
-    decreasing label sum, one scalar action per iteration. Singleton
-    docs keep their own id — every document gets a component."""
+    graph until fixpoint. The loop runs ONLY over docs that have at
+    least one edge — on a web corpus the dedup-active subgraph is a
+    small fraction of the input (measured sf0.1: 1,532 of 5,000 docs on
+    14k edges from 1.07M candidates), so singletons never pay the
+    iterations; they are appended afterwards with their own id via one
+    anti-join. Each iteration is one equi-join + min aggregate;
+    ``localCheckpoint`` truncates the growing plan lineage; iterations
+    are bounded by graph diameter (hash-min collapses dense near-dup
+    blobs in 2-3). Convergence is detected by the strictly decreasing
+    label sum, one scalar action per iteration."""
     docs = _docs(spark, sf_dir)
     from .analytics.queries import MINHASH_BUCKET_CAP
 
@@ -568,7 +593,10 @@ def q_near_dup_components(spark, sf_dir):
         .union(e.select(F.col("db").alias("src"), F.col("da").alias("dst")))
         .localCheckpoint()
     )
-    labels = docs.select("doc_id", F.col("doc_id").alias("component")).localCheckpoint()
+    active = edges.select(F.col("src").alias("doc_id")).distinct()
+    labels = active.select(
+        "doc_id", F.col("doc_id").alias("component")
+    ).localCheckpoint()
     prev_sum = labels.agg(F.sum("component")).collect()[0][0] or 0
     for _ in range(COMPONENT_MAX_ITERS):
         prop = edges.join(
@@ -584,7 +612,12 @@ def q_near_dup_components(spark, sf_dir):
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
-    return labels.select("doc_id", F.col("component").cast("long").alias("component"))
+    singletons = docs.select("doc_id").join(active, "doc_id", "left_anti").select(
+        "doc_id", F.col("doc_id").alias("component")
+    )
+    return labels.union(singletons).select(
+        "doc_id", F.col("component").cast("long").alias("component")
+    )
 
 
 def _sql_near_dup_components_body(from_clause: str, cap: int) -> str:
