@@ -75,7 +75,12 @@ def _docs(spark, sf_dir: str) -> DataFrame:
 
 # Knuth multiplicative hash — portable arithmetic (identical in Spark and
 # DuckDB BIGINT math), used instead of xxhash64/md5-hex-to-int because the
-# oracle engine has no conv(hex). Production swap: xxhash64(doc_id).
+# oracle engine has no conv(hex). The id is reduced mod 2^31-1 BEFORE the
+# multiply so the product stays under 2^63 for any BIGINT doc_id —
+# int64 overflow silently wraps in the JVM but raises in DuckDB, so an
+# overflowing formula would diverge between engines exactly at the scale
+# where it matters. Production swap: xxhash64(doc_id).
+_HASH_PRE = 2147483647
 _HASH_MULT = 2654435761
 _HASH_MOD = 4294967296
 
@@ -89,7 +94,7 @@ def q_stratified_sample(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     src_num = F.substring("source", 4, 8).cast("long")
     rate = (F.lit(5) + (src_num * 7) % 46).cast("long")
-    bucket = (F.col("doc_id") * _HASH_MULT) % _HASH_MOD % 100
+    bucket = (F.col("doc_id") % _HASH_PRE) * _HASH_MULT % _HASH_MOD % 100
     return (
         docs.select("doc_id", "source", rate.alias("rate"))
         .where(bucket < F.col("rate"))
@@ -100,7 +105,7 @@ SQL_STRATIFIED_SAMPLE = f"""
 SELECT doc_id, source,
        (5 + (CAST(substring(source, 4) AS BIGINT) * 7) % 46)::BIGINT AS rate
 FROM documents
-WHERE (doc_id * {_HASH_MULT}) % {_HASH_MOD} % 100
+WHERE (doc_id % {_HASH_PRE}) * {_HASH_MULT} % {_HASH_MOD} % 100
       < 5 + (CAST(substring(source, 4) AS BIGINT) * 7) % 46
 """
 
@@ -158,13 +163,18 @@ NGRAM_N = 5
 def q_dup_ngram_fraction(spark, sf_dir):
     """Per-document duplicate-5-gram fraction: of the document's distinct
     word 5-grams, the share that also appear in at least one other
-    document. Formulated as ONE pass: explode distinct grams keyed by
-    md5(ngram) — a fixed 32-byte shuffle key regardless of gram text —
-    then a partition-wide count window over h instead of a
-    frequency-table self-join (which would scan the corpus and recompute
-    every gram twice: measured plan had two parquet scans). One exchange
-    on h, one on doc_id. Docs under 5 words have no 5-grams and are
-    excluded (not zero-padded)."""
+    document. Grams are keyed by md5 — a fixed 32-byte shuffle key
+    regardless of gram text. The corpus-global frequency uses a hash
+    AGGREGATE (map-side partial combine absorbs corpus-common grams),
+    NOT a count window over h: a window partition is one task, so a
+    boilerplate 5-gram present in millions of docs would serialize into
+    a single sort — the same hot-key failure the LSH bucket cap guards
+    against. Only the duplicated-gram set (df >= 2, small on real
+    corpora) flows into the join back; the gram build is recomputed on
+    that side (scan + in-row md5, no extra exchange) rather than
+    persisted — cheaper than caching an exploded corpus-scale
+    intermediate. Docs under 5 words have no 5-grams and are excluded
+    (not zero-padded)."""
     docs = _docs(spark, sf_dir)
     words = F.split("text", " ")
     grams = F.transform(
@@ -175,13 +185,18 @@ def q_dup_ngram_fraction(spark, sf_dir):
         docs.where(F.size(words) >= NGRAM_N)
         .select("doc_id", F.explode(F.array_distinct(grams)).alias("h"))
     )
-    df_w = F.count(F.lit(1)).over(Window.partitionBy("h"))
+    dup_grams = (
+        doc_grams.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= 2)
+        .select("h")
+    )
     return (
-        doc_grams.withColumn("df", df_w)
+        doc_grams.join(dup_grams.withColumn("is_dup", F.lit(1)), "h", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_ngrams"),
-            F.sum((F.col("df") >= 2).cast("long")).alias("dup_ngrams"),
+            F.coalesce(F.sum("is_dup"), F.lit(0)).cast("long").alias("dup_ngrams"),
         )
         .select(
             "doc_id",
@@ -407,10 +422,13 @@ FROM read_parquet('{corpus_path(sf)}')
 def q_paragraph_dedup(spark, sf_dir):
     """C4-style exact paragraph dedup: a paragraph is boilerplate when its
     md5 occurs in ≥2 distinct documents; rebuild each doc from the kept
-    paragraphs in original order. Shuffle key is the 128-bit hash, not
-    the paragraph text; the per-doc reassembly reuses the doc_id
-    grouping. Document granularity is preserved (a doc whose every
-    paragraph is boilerplate still emits a row with empty kept_text)."""
+    paragraphs in original order. The corpus-global frequency aggregate
+    exchanges only (hash, doc_id) pairs — 48 bytes/paragraph regardless
+    of text length — and its (small) result joins back to the paragraph
+    rows broadcast; the only text-bearing exchange is the final per-doc
+    reassembly, which any ordered rebuild must pay. Document granularity
+    is preserved (a doc whose every paragraph is boilerplate still emits
+    a row with empty kept_text)."""
     docs = _read_text(spark, sf_dir)
     paras = docs.select(
         "doc_id", F.posexplode(F.split("text", "\n")).alias("pos", "para")
