@@ -42,22 +42,56 @@ def _vendor_name_col(vendor_col):
 def _routed_ranked(docs: DataFrame) -> DataFrame:
     """Shared admission-router plan: per-doc detection/routing columns
     (vendor_detect.route_columns — one JVM projection folded into the scan)
-    + hash first-wins rank and the slot winner's effective vendor.
+    + hash first-wins winner flag (`_rn` 1/2) and the slot winner's
+    effective vendor.
 
-    The window ranks a SLIM projection (no spans): the admission decision
-    is a pure function of (doc_id, file_hash, routing columns), so the
-    span payloads — the overwhelming majority of the bytes — never enter
-    this shuffle. At sf20 the full-row window was a ~20 s stage that
-    barely sped up from 8 to 32 cores (shuffle-bound); slim it is
-    megabytes."""
+    Two skew/scale properties:
+
+    * The decision runs on a SLIM projection (no spans): admission is a
+      pure function of (doc_id, file_hash, routing columns), so the span
+      payloads — the overwhelming majority of the bytes — never enter
+      this shuffle. At sf20 the full-row form was a ~20 s stage that
+      barely sped up from 8 to 32 cores (shuffle-bound); slim it is
+      megabytes.
+    * The winner is a min_by AGGREGATE joined back by hash, not a
+      row_number window: a window partition is one task, and the most
+      duplicated content in a real crawl (empty pages, error pages) can
+      share one hash across millions of rows — the aggregate absorbs a
+      hot hash in map-side partial combine, and the join-back's hot key
+      sits on the big side of an equi-join, which AQE skew-split handles.
+
+    The slim frame is lazily localCheckpoint'ed before it branches into
+    the aggregate and the join-back: without the barrier, Catalyst plans
+    the detection-regex projection into BOTH join sides — the duplicated
+    expression tree made planning alone take ~30 s and re-ran the
+    routing regexes per side. With it, routing is computed once and both
+    branches read the materialized slim rows (O(n_docs) routing columns,
+    no span payloads). On a real cluster this is a reliable checkpoint to
+    the lineage location; lineage.run_with_lineage additionally persists
+    the filtered winner set across its derivations."""
     from ..vendor_detect import route_columns
 
-    w = Window.partitionBy("file_hash").orderBy("doc_id")
     slim = route_columns(docs).select(
         "doc_id", "vendor", "file_hash", "detected", "confidence", "eff_vendor", "pre_reason"
+    ).localCheckpoint(eager=False)
+    winners = (
+        slim.groupBy("file_hash")
+        .agg(F.min_by(F.struct("doc_id", "eff_vendor"), "doc_id").alias("_w"))
+        .select(
+            "file_hash",
+            F.col("_w.doc_id").alias("_winner_id"),
+            F.col("_w.eff_vendor").alias("_winner_vendor"),
+        )
     )
-    return slim.withColumn("_rn", F.row_number().over(w)).withColumn(
-        "_winner_vendor", F.first("eff_vendor").over(w)
+    return (
+        slim.join(winners, "file_hash")
+        .withColumn(
+            "_rn",
+            F.when(F.col("doc_id") == F.col("_winner_id"), F.lit(1)).otherwise(
+                F.lit(2)
+            ),
+        )
+        .drop("_winner_id")
     )
 
 
