@@ -22,11 +22,20 @@ tokenizer:
     phones, IPv4s, ID numbers) over a deterministic fixture corpus;
   * ``paragraph_dedup``    — C4-style exact paragraph dedup: drop any
     paragraph whose md5 appears in ≥2 distinct documents, rebuild the
-    document from the kept paragraphs in order.
+    document from the kept paragraphs in order;
+  * ``bpe_token_count``    — whitespace vs BPE-ish pretoken counts per
+    doc (lookaround-free GPT-2-style pattern, identical under Java
+    regex and RE2);
+  * ``near_dup_components`` — near-dup cluster assignment: MinHash+LSH
+    candidates → exact token-Jaccard verify → Pregel-style hash-min
+    label propagation to fixpoint (the step an actual corpus dedup
+    needs: keep one doc per cluster).
 
 Every query has a direct DuckDB oracle (no materialized-expected
 fallback): md5 and simple-regex semantics agree between the JVM and
-DuckDB's RE2, so both engines compute the answer independently.
+DuckDB's RE2, so both engines compute the answer independently —
+``near_dup_components``'s iterative loop is checked against a DuckDB
+recursive-CTE transitive closure.
 
 Scale shape (100 TB):
 
@@ -42,6 +51,10 @@ Scale shape (100 TB):
     long the paragraph is. Frequencies partially aggregate map-side; the
     join back to documents is a plain equi-join on the same hash key, so
     AQE can reuse the exchange. No step is quadratic in corpus size.
+  * near_dup_components bounds pair output by the LSH bucket cap, prunes
+    candidates with a PPJoin-style length filter before any token
+    payload moves, and iterates only over the dedup-active subgraph;
+    per-iteration state is one (doc_id, label) row per active doc.
 
 The PII/paragraph fixture (``text_docs``) is generated deterministically
 at a size derived from sf — same pattern as boilerplate.ensure_html_corpus;
