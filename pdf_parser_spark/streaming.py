@@ -297,3 +297,41 @@ def doc_status_stream(events: DataFrame) -> DataFrame:
         "update",
         GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def windowed_event_counts(
+    events: DataFrame, window_len: str = "10 minutes", late: str = "1 hour"
+) -> DataFrame:
+    """Event-time tumbling-window rollup with a late-data watermark over a
+    stream of (ts timestamp, event_type, value): per (window, type) event
+    count + value sum.
+
+    Streaming semantics (append mode): a window emits exactly once, when
+    the watermark — max observed event time minus ``late`` — passes its
+    end; events arriving more than ``late`` behind the stream's frontier
+    are dropped rather than mutating an already-emitted window. State per
+    key is one partial aggregate, evicted at emission, so state size is
+    bounded by (windows in the lateness horizon × types), independent of
+    stream length. The same plan runs unchanged on a batch DataFrame
+    (watermark is a no-op there), which is how the pytest pins expected
+    values.
+
+    Event-time tracking requires an instant (TIMESTAMP), so a
+    TIMESTAMP_NTZ column — what parquet-from-pandas produces — is coerced
+    via the session timezone first."""
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events.withWatermark("ts", late)
+        .groupBy(F.window("ts", window_len).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )

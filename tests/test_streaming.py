@@ -212,3 +212,74 @@ def test_doc_status_stream_over_micro_batches(spark, tmp_path):
     # state carried across batches: both batch-1 events plus batch-0's
     assert final_a["n_events"] == 3 and final_a["first_ts"] == 1 and final_a["last_ts"] == 4
     assert ("b", "PENDING") in rows  # non-terminal doc reported, state kept
+
+
+def test_windowed_counts_watermark_drops_late(spark, tmp_path):
+    """Watermark + windowed agg (append): windows emit once when the
+    watermark passes their end; an event arriving behind the watermark is
+    dropped, never mutating an emitted window."""
+    import datetime as dt
+
+    import pandas as pd
+
+    def ts(h, m):
+        return int(dt.datetime(2024, 1, 1, h, m, tzinfo=dt.timezone.utc).timestamp())
+
+    inp = tmp_path / "ev_in"
+    inp.mkdir()
+    # batch 1: window 10:00-10:10 gets 2 clicks; frontier advances to 12:05
+    pd.DataFrame(
+        {
+            "ts_epoch": [ts(10, 0), ts(10, 9), ts(12, 5)],
+            "event_type": ["click", "click", "click"],
+            "value": [1.0, 2.0, 4.0],
+        }
+    ).to_parquet(inp / "f1.parquet", index=False)
+    # batch 2: frontier push to 13:30 (watermark 12:30 after it -> the
+    # 12:00-12:10 window emits)
+    pd.DataFrame(
+        {"ts_epoch": [ts(13, 30)], "event_type": ["click"], "value": [8.0]}
+    ).to_parquet(inp / "f2.parquet", index=False)
+    # batch 3: a LATE click at 10:03 — the input filter runs with the
+    # watermark established before this batch (>= 11:05, an hour past the
+    # 10:00-10:10 window), so the row is dropped and the already-emitted
+    # window is never mutated. (Spark applies the filter with the PREVIOUS
+    # batch's watermark — a late row landing in the same batch that first
+    # advances the frontier past it would still merge; one batch later it
+    # cannot.)
+    pd.DataFrame(
+        {"ts_epoch": [ts(10, 3)], "event_type": ["click"], "value": [100.0]}
+    ).to_parquet(inp / "f3.parquet", index=False)
+
+    from pyspark.sql import functions as F
+
+    stream = (
+        spark.readStream.schema("ts_epoch long, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(inp))
+        .withColumn("ts", F.timestamp_seconds("ts_epoch"))
+    )
+    q = (
+        streaming.windowed_event_counts(stream)
+        .writeStream.format("memory")
+        .queryName("wincounts")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_win"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["w_start"].hour, r["w_start"].minute, r["event_type"]): (
+            r["n_events"],
+            r["total_value"],
+        )
+        for r in spark.sql("SELECT * FROM wincounts").collect()
+    }
+    # 10:00 window: the two on-time clicks only — the late 100.0 is dropped
+    assert got[(10, 0, "click")] == (2, 3.0)
+    # 12:00 window emitted once its end passed the watermark
+    assert got[(12, 0, "click")] == (1, 4.0)
+    # 13:30 window never emitted (watermark still behind its end)
+    assert not any(k[0] == 13 for k in got)
+    assert len(got) == 2
