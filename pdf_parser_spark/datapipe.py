@@ -553,10 +553,14 @@ def _verified_edges(docs: DataFrame, cap: int) -> DataFrame:
     Measured sf0.1: edge build 24s -> ~4s."""
     from .analytics.queries import minhash_sigs
 
+    # Both frames branch into multiple plan subtrees (sigs: bucket counts
+    # + both self-join sides; tok_sets: cards + both verify sides) —
+    # without a barrier Spark re-evaluates the scan+tokenize+md5 lineage
+    # per branch. Lazily checkpoint once; both are O(n_docs) rows.
     tok_sets = docs.select(
         "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
-    )
-    sigs = minhash_sigs(docs)
+    ).localCheckpoint(eager=False)
+    sigs = minhash_sigs(docs).localCheckpoint(eager=False)
     counts = sigs.groupBy("band", "sig").agg(F.count(F.lit(1)).alias("c"))
     cold = counts.where(F.col("c") <= cap).select("band", "sig")
     a = sigs.join(cold, ["band", "sig"]).select(
