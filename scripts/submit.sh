@@ -9,9 +9,17 @@ cd "$(dirname "$0")/.."
 rm -f /tmp/pdf_parser_spark.zip
 zip -qr /tmp/pdf_parser_spark.zip pdf_parser_spark -x '*__pycache__*'
 
-INPUT=${1:-.cache/bench_corpus_sf0.01.parquet}
+INPUT=${1:-.cache/submit_demo_corpus.parquet}
 OUTPUT=${2:-/tmp/extraction_out}
 JOB_ID=${3:-submit-$(date +%s)}
+
+# No input given and the demo corpus is absent -> generate it (seeded).
+if [[ "$INPUT" == .cache/submit_demo_corpus.parquet && ! -e "$INPUT/_SUCCESS" && ! -e "$INPUT" ]]; then
+  python - <<'PYEOF'
+from pdf_parser_spark import corpus
+corpus.write_corpus_parquet(".cache/submit_demo_corpus.parquet", 500)
+PYEOF
+fi
 
 spark-submit \
   --py-files /tmp/pdf_parser_spark.zip \
