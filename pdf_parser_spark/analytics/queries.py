@@ -412,8 +412,9 @@ WITH e AS (
   FROM e
 ), s AS (
   SELECT user_id, et,
-         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY et, event_id
-                             ROWS UNBOUNDED PRECEDING) AS session_id
+         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY et, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_id
   FROM f
 )
 SELECT user_id, session_id, count(*)::BIGINT AS n_events,

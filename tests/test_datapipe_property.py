@@ -81,3 +81,63 @@ def test_datapipe_differential_random(spark, tmp_path_factory, pdf):
         )
         want = want[cols].astype(str).sort_values(cols).reset_index(drop=True)
         pd.testing.assert_frame_equal(got, want, obj=name)
+
+
+@st.composite
+def events_st(draw):
+    import datetime as dt
+
+    base = dt.datetime(2024, 3, 1, 0, 0, 0)
+    n = draw(st.integers(5, 40))
+    rows = []
+    for i in range(n):
+        rows.append(
+            {
+                "event_id": i,
+                # few users -> multi-session users; coarse minutes -> ties
+                "user_id": draw(st.integers(1, 4)),
+                "ts": base + dt.timedelta(minutes=draw(st.integers(0, 600))),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pdf=events_st())
+def test_event_sessions_differential_random(spark, tmp_path_factory, pdf):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_parser_spark.analytics.queries import (
+        SQL_EVENT_SESSIONS,
+        q_event_sessions,
+    )
+
+    tmp = tmp_path_factory.mktemp("evprop")
+    table = pa.Table.from_pandas(pdf, preserve_index=False).cast(
+        pa.schema(
+            [
+                pa.field("event_id", pa.int64()),
+                pa.field("user_id", pa.int64()),
+                pa.field("ts", pa.timestamp("us")),
+            ]
+        )
+    )
+    pq.write_table(table, tmp / "events.parquet")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{tmp / 'events.parquet'}'")
+    want = con.execute(SQL_EVENT_SESSIONS).fetchdf()
+    cols = sorted(want.columns)
+    got = (
+        q_event_sessions(spark, str(tmp))
+        .toPandas()[cols]
+        .astype(str)
+        .sort_values(cols)
+        .reset_index(drop=True)
+    )
+    want = want[cols].astype(str).sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
