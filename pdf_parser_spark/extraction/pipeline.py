@@ -98,10 +98,18 @@ def _routed_ranked(docs: DataFrame) -> DataFrame:
 def admission_winners(docs: DataFrame) -> DataFrame:
     """(doc_id, eff_vendor) of every admitted doc — the slim admission
     decision, to be joined back onto the span rows."""
+    return admission_meta(docs).select("doc_id", "eff_vendor")
+
+
+def admission_meta(docs: DataFrame) -> DataFrame:
+    """(doc_id, eff_vendor, file_hash) of every admitted doc — the winner
+    set PLUS the doc-level metadata the master log needs, so report
+    derivations never have to re-join the span payload just to recover
+    three slim columns (the round-2 report_master_log 4.4x regression)."""
     return (
         _routed_ranked(docs)
         .where((F.col("_rn") == 1) & F.col("pre_reason").isNull())
-        .select("doc_id", "eff_vendor")
+        .select("doc_id", "eff_vendor", "file_hash")
     )
 
 
@@ -542,10 +550,15 @@ def run_pipeline(
     *whole* input, so it must not be applied per resume subset).
 
     ``winners`` (with ``admit=True``) supplies a precomputed slim winner
-    set ``(doc_id, eff_vendor)`` — lineage.run_with_lineage persists one
-    and reuses it here, for ``doc_meta`` and for the bucket listing, so
-    the routing regexes run exactly once per job instead of once per
-    derivation."""
+    set ``(doc_id, eff_vendor, file_hash)`` — lineage.run_with_lineage
+    persists one and reuses it here, for ``doc_meta`` and for the bucket
+    listing, so the routing regexes run exactly once per job instead of
+    once per derivation. When absent, run_pipeline builds and (with
+    ``persist``) persists its own: the master log's doc-level meta then
+    reads three slim columns from cache instead of replaying the
+    admission join over the span payload — at round 2 that replay made
+    report_master_log 4.4x slower than the pipeline outputs that reused
+    the persisted kernel frames."""
     from .reports import master_log_frame
 
     if admit:
@@ -562,14 +575,24 @@ def run_pipeline(
         # even in the broadcast case.
         width = spark.sparkContext.defaultParallelism * 4
         if winners is None:
-            winners = admission_winners(docs)
+            winners = admission_meta(docs)
+            if persist:
+                winners = winners.persist()
+                if track is not None:
+                    track.append(winners)
         big = docs.repartition(width, "doc_id")
-        admitted = big.join(winners, "doc_id").select(
+        admitted = big.join(winners.select("doc_id", "eff_vendor"), "doc_id").select(
             "doc_id", F.col("eff_vendor").alias("vendor"), "file_hash", "spans"
+        )
+        # Doc-level meta for the master log: three slim columns straight off
+        # the (persisted) winner set — never via the span-payload join above.
+        doc_meta = winners.select(
+            "doc_id", F.col("eff_vendor").alias("vendor"), "file_hash"
         )
         pages = page_frame(admitted, salt_pages=False)
     else:
         admitted = docs
+        doc_meta = admitted.select("doc_id", "vendor", "file_hash")
         pages = page_frame(admitted)
     page_entries = page_entries_frame(pages)
     if persist:
@@ -584,5 +607,5 @@ def run_pipeline(
         "extracted_spans": extracted_spans_frame(entries),
         "extracted": extracted,
         "doc_stats": doc_stats_frame(page_entries),
-        "master_log": master_log_frame(extracted, admitted, job_ts),
+        "master_log": master_log_frame(extracted, doc_meta, job_ts, track=track),
     }

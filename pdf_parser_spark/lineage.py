@@ -145,7 +145,10 @@ def run_with_lineage(
 
     cached: list = []
     out = run_pipeline(
-        spark, docs, track=cached, winners=slim.select("doc_id", "eff_vendor")
+        spark,
+        docs,
+        track=cached,
+        winners=slim.select("doc_id", "eff_vendor", "file_hash"),
     )
     to_write = {
         name: out[name].withColumn("bucket", _bucket(F.col("doc_id"), n_buckets))
@@ -203,13 +206,20 @@ def run_with_lineage(
     return {"job_id": job_id, "buckets_run": len(ran), "buckets_skipped": len(done)}
 
 
-def read_output(spark: SparkSession, root: str, name: str) -> DataFrame:
+def read_output(
+    spark: SparkSession, root: str, name: str, track: list | None = None
+) -> DataFrame:
     """Read one output table across all completed buckets; ``master_log``
-    is derived corpus-globally from the incremental tables."""
+    is derived corpus-globally from the incremental tables.
+
+    ``track`` receives the load-bearing persisted handle master_log's
+    global sequence pins (reports.global_seq) so long-lived sessions can
+    unpersist it after materializing the report — without it every
+    master_log derivation strands one cached frame until eviction."""
     if name == "master_log":
         from .extraction.reports import master_log_frame
 
         extracted = read_output(spark, root, "extracted")
         meta = read_output(spark, root, "doc_meta")
-        return master_log_frame(extracted, meta)
+        return master_log_frame(extracted, meta, track=track)
     return spark.read.parquet(os.path.join(root, name)).drop("bucket")

@@ -177,16 +177,20 @@ def compact_stream_output(spark: SparkSession, root: str, n_buckets: int = 64) -
     return len(batches)
 
 
-def read_stream_output(spark: SparkSession, root: str, name: str) -> DataFrame:
+def read_stream_output(
+    spark: SparkSession, root: str, name: str, track: list | None = None
+) -> DataFrame:
     """One output table across the compacted layout + all remaining
     micro-batch sub-roots. ``master_log`` is derived corpus-globally over
-    that union."""
+    that union. ``track`` receives global_seq's load-bearing persisted
+    handle (see lineage.read_output) for caller-side unpersist."""
     if name == "master_log":
         from .extraction.reports import master_log_frame
 
         return master_log_frame(
             read_stream_output(spark, root, "extracted"),
             read_stream_output(spark, root, "doc_meta"),
+            track=track,
         )
     from functools import reduce
 
