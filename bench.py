@@ -127,11 +127,17 @@ def main() -> None:
     if wanted is None or any(q in wanted for q in DATAPIPE_QUERIES):
         ensure_text_corpus(sf_of(sf_dir))
 
+    from pdf_parser_spark.datapipe import BENCH_DERIVED
+
     all_queries = dict(ANALYTIC_QUERIES)
     all_queries.update(BOILERPLATE_QUERIES)
     all_queries.update(DATAPIPE_QUERIES)
     for name, (fn, _sql) in all_queries.items():
         if wanted is not None and name not in wanted:
+            continue
+        if name in BENCH_DERIVED and (wanted is None or name not in wanted):
+            # free projections over an already-benched query; timing them
+            # would double-count its expensive stage (see datapipe.py)
             continue
         t0 = time.perf_counter()
         _materialize(fn(spark, sf_dir))

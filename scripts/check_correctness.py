@@ -2,7 +2,12 @@
 and its oracle_sql() on DuckDB, compare row count + column names +
 order-insensitive value hash. Usage:
 
-    python scripts/check_correctness.py [sf_dir] [query ...]
+    python scripts/check_correctness.py [--json OUT.json] [sf_dir] [query ...]
+
+``--json`` additionally writes the results in the driver's
+CORRECTNESS_r{N}.json schema (rows_match/schema_match/hash_match/
+spark_rows/oracle_rows/err per query) — used to record the supplement for
+queries that overflow the driver's ~50-entry artifact cap.
 """
 
 from __future__ import annotations
@@ -42,8 +47,13 @@ def frame_hash(pdf) -> tuple[int, list[str], str]:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_out = None
+    if args and args[0] == "--json":
+        json_out = args[1]
+        args = args[2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import duckdb
 
@@ -62,6 +72,7 @@ def main():
         )
 
     failures = []
+    records: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -70,21 +81,53 @@ def main():
             got = fn(spark, sf_dir).toPandas()
         except Exception as e:
             failures.append(name)
+            records[name] = {
+                "rows_match": False,
+                "schema_match": False,
+                "hash_match": False,
+                "spark_rows": None,
+                "oracle_rows": None,
+                "err": f"spark {type(e).__name__}: {e}",
+            }
             print(f"FAIL {name}: spark error {type(e).__name__}: {e}")
             continue
         sql = osql.get(name)
         if sql is None:
+            records[name] = {
+                "rows_match": None,
+                "schema_match": None,
+                "hash_match": None,
+                "spark_rows": len(got),
+                "oracle_rows": None,
+                "err": None,
+            }
             print(f"rows-only {name}: {len(got)} rows ({time.time()-t0:.1f}s)")
             continue
         try:
             want = con.sql(sql).df()
         except Exception as e:
             failures.append(name)
+            records[name] = {
+                "rows_match": False,
+                "schema_match": False,
+                "hash_match": False,
+                "spark_rows": len(got),
+                "oracle_rows": None,
+                "err": f"duckdb {type(e).__name__}: {e}",
+            }
             print(f"FAIL {name}: duckdb error {type(e).__name__}: {e}")
             continue
         gn, gc, gh = frame_hash(got)
         wn, wc, wh = frame_hash(want)
         ok = (gn, gc, gh) == (wn, wc, wh)
+        records[name] = {
+            "rows_match": gn == wn,
+            "schema_match": gc == wc,
+            "hash_match": gh == wh,
+            "spark_rows": gn,
+            "oracle_rows": wn,
+            "err": None,
+        }
         status = "ok  " if ok else "FAIL"
         print(
             f"{status} {name}: spark {gn} rows / duck {wn} rows, "
@@ -93,6 +136,13 @@ def main():
         )
         if not ok:
             failures.append(name)
+
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(records, f, indent=1)
+        print(f"wrote {json_out}")
 
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     spark.stop()

@@ -45,6 +45,7 @@ def _assert_equal(spark_df, duck_df):
         "paragraph_dedup",
         "bpe_token_count",
         "near_dup_components",
+        "near_dup_keep",
     ],
 )
 def test_differential(spark, name):
@@ -80,6 +81,36 @@ def test_pack_sequences_budget(spark):
     # a pack only overflows by its last doc: every pack except a source's
     # final one must have started under budget
     assert (packs["pack_id"] >= 0).all()
+
+
+def test_pack_sequences_hot_source(spark, tmp_path):
+    """One domain owning ~95% of the corpus — the exact skew the
+    hierarchical cumsum exists for. Equality vs the single-window oracle
+    proves the range-chunk + offset decomposition is exact, on a corpus
+    big enough that the source genuinely spans many range chunks."""
+    import random as _r
+
+    rng = _r.Random(7)
+    rows = []
+    for i in range(4000):
+        src = "src7" if i % 20 != 0 else f"src{i % 5}"
+        k = rng.randint(1, 40)
+        rows.append(
+            {
+                "doc_id": i,
+                "text": " ".join(f"w{j}" for j in range(k)),
+                "lang": "en",
+                "source": src,
+                "n_chars": 3 * k,
+            }
+        )
+    pd.DataFrame(rows).to_parquet(tmp_path / "documents.parquet", index=False)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path / 'documents.parquet'}'"
+    )
+    want = con.execute(dp.SQL_PACK_SEQUENCES).fetchdf()
+    _assert_equal(dp.q_pack_sequences(spark, str(tmp_path)), want)
 
 
 def test_dup_ngram_known_case(spark):

@@ -26,6 +26,10 @@ OPS = [
     "gopher_quality",
     "bpe_token_count",
     "near_dup_components",
+    # keep's correctness rests on the hash-min invariant (component label
+    # == min doc_id of the cluster); the differential vs the closure
+    # oracle's doc = min(lab) checks it on every random graph
+    "near_dup_keep",
 ]
 
 
@@ -46,7 +50,9 @@ def docs_st(draw):
                 "doc_id": i,
                 "text": text,
                 "lang": draw(st.sampled_from(["en", "zh", "de"])),
-                "source": f"src{draw(st.integers(0, 3))}",
+                # the 15-digit suffix regression-tests the uncapped
+                # substring(source, 4): an 8-char cap truncates it
+                "source": f"src{draw(st.sampled_from([0, 1, 2, 3, 987654321054321]))}",
                 "n_chars": len(text),
             }
         )
