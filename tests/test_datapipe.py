@@ -46,6 +46,7 @@ def _assert_equal(spark_df, duck_df):
         "bpe_token_count",
         "near_dup_components",
         "near_dup_keep",
+        "decontaminate",
     ],
 )
 def test_differential(spark, name):
@@ -168,6 +169,51 @@ def test_pii_redact_semantics(spark):
     # markers appear exactly as often as the counters say
     assert joined.count("<EMAIL>") == out["n_emails"].sum()
     assert joined.count("<PHONE>") == out["n_phones"].sum()
+
+
+def test_decontaminate_semantics(spark, tmp_path):
+    """Constructed contamination: doc 18 (eval: 18 % 10 == 8) shares its
+    full 14-word text with train doc 3; train doc 5 shares only a 12-word
+    prefix (below the 13-gram window) and must stay clean."""
+    base = " ".join(f"tok{i}" for i in range(14))  # 14 words -> two 13-grams
+    prefix12 = " ".join(f"tok{i}" for i in range(12)) + " other two words"
+    clean = " ".join(f"x{i}" for i in range(20))
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [3, 5, 7, 18],
+            "text": [base, prefix12, clean, base],
+            "lang": ["en"] * 4,
+            "source": ["src1"] * 4,
+            "n_chars": [len(base), len(prefix12), len(clean), len(base)],
+        }
+    )
+    pdf.to_parquet(tmp_path / "documents.parquet", index=False)
+    got = (
+        dp.q_decontaminate(spark, str(tmp_path))
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert list(got.index) == [3, 5, 7]
+    assert bool(got.loc[3, "contaminated"]) and got.loc[3, "n_eval_grams"] == 2
+    assert not bool(got.loc[5, "contaminated"])
+    assert not bool(got.loc[7, "contaminated"])
+
+
+def test_decontaminate_non_vacuous_at_sf001():
+    """The driver's correctness gate runs at sf0.01 — assert the eval split
+    actually catches contamination there (no vacuous all-false green)."""
+    import duckdb as _d
+
+    con = _d.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.01/documents.parquet'"
+    )
+    n = con.execute(
+        f"SELECT count(*) FROM ({dp.SQL_DECONTAMINATE}) WHERE contaminated"
+    ).fetchone()[0]
+    assert n >= 3
 
 
 def test_near_dup_components_chain(spark):
