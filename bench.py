@@ -106,7 +106,8 @@ def main() -> None:
     n_docs = 0
 
     if wanted is None or "extract_pipeline" in wanted:
-        pipe_times, n_docs = bench_pipeline(spark, sf, cache_dir)
+        runs = int(os.environ.get("SPARK_GRAFT_RUNS", "3"))
+        pipe_times, n_docs = bench_pipeline(spark, sf, cache_dir, runs=runs)
         queries.update(pipe_times)
 
     if wanted is None or "cjk_pages" in wanted:

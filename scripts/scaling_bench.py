@@ -3,11 +3,19 @@
 scaling efficiency >=0.8 between N and 4N executors).
 
 No real cluster exists in this sandbox, so the same job runs at two
-parallelism levels — local[N] and local[4N] — on the same generated corpus,
-each in its own subprocess (a fresh JVM per level; nothing shared). Reported:
-throughput at both levels and efficiency = T_4N_thpt / (4 * T_N_thpt).
+parallelism levels — local-cluster at N and 4N cores — on the same generated
+corpus, each in its own subprocess (a fresh JVM per run; nothing shared).
+Reported: throughput at both levels and efficiency = T_4N_thpt / (4 * T_N_thpt).
 
-Usage: python scripts/scaling_bench.py [--n 8] [--sf 0.5] [--out BENCH.md]
+The levels are INTERLEAVED (small, large, small, large, ...; ``--pairs``
+fresh-JVM pairs, each warmup + 1 timed run, median per level): this host's
+throughput drifts 30-40% across tens of minutes (BENCH.md noise study —
+two back-to-back identical suites differed uniformly x0.66), so running
+all small-level samples in one window and all large-level samples in a
+later one measures the drift, not the scaling. Alternation puts both
+levels in every window; the per-level medians see the same host.
+
+Usage: python scripts/scaling_bench.py [--n 8] [--sf 0.5] [--pairs 3] [--out BENCH.md]
 """
 
 from __future__ import annotations
@@ -21,7 +29,7 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_level(cpus: int, sf: float) -> dict:
+def run_level(cpus: int, sf: float, runs: int = 3) -> dict:
     """One parallelism level = cpus/4 executor *processes* x 4 cores via
     local-cluster. Separate processes are the faithful stand-in for cluster
     executors — and unavoidable here: this sandbox's kernel serializes page
@@ -42,6 +50,7 @@ def run_level(cpus: int, sf: float) -> dict:
         SPARK_GRAFT_CPUS=str(cpus),
         SPARK_GRAFT_SF_DIR=f"/root/testdata/sf{sf}",
         SPARK_GRAFT_QUERIES="extract_pipeline",
+        SPARK_GRAFT_RUNS=str(runs),
     )
     # taskset confines the WHOLE level (driver + executors + python
     # workers) to exactly `cpus` hardware cores. Without it the small
@@ -70,13 +79,45 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=8, help="small parallelism N (large = 4N)")
     ap.add_argument("--sf", type=float, default=0.5)
+    ap.add_argument(
+        "--pairs",
+        type=int,
+        default=3,
+        help="interleaved (small, large) fresh-JVM pairs; median per level",
+    )
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH.md"))
     args = ap.parse_args()
 
-    small = run_level(args.n, args.sf)
-    large = run_level(args.n * 4, args.sf)
+    smalls, larges = [], []
+    for i in range(args.pairs):
+        s = run_level(args.n, args.sf, runs=1)
+        l = run_level(args.n * 4, args.sf, runs=1)
+        smalls.append(s)
+        larges.append(l)
+        print(
+            json.dumps(
+                {
+                    "pair": i + 1,
+                    "small_docs_per_sec": s["docs_per_sec"],
+                    "large_docs_per_sec": l["docs_per_sec"],
+                    "pair_efficiency": round(
+                        l["docs_per_sec"] / (4.0 * s["docs_per_sec"]), 3
+                    ),
+                }
+            ),
+            flush=True,
+        )
+
+    def med(rs: list[dict]) -> dict:
+        return sorted(rs, key=lambda r: r["docs_per_sec"])[len(rs) // 2]
+
+    small, large = med(smalls), med(larges)
     thr_s, thr_l = small["docs_per_sec"], large["docs_per_sec"]
     eff = thr_l / (4.0 * thr_s)
+    pair_effs = [
+        round(l["docs_per_sec"] / (4.0 * s["docs_per_sec"]), 3)
+        for s, l in zip(smalls, larges)
+    ]
 
     result = {
         "sf": args.sf,
@@ -86,6 +127,9 @@ def main() -> None:
             f"{args.n * 4} cores ({args.n} executors x 4)": {"sec": large["queries"]["extract_pipeline"], "docs_per_sec": thr_l},
         },
         "scaling_efficiency": round(eff, 3),
+        "pair_efficiencies": pair_effs,
+        "small_docs_per_sec_all": [r["docs_per_sec"] for r in smalls],
+        "large_docs_per_sec_all": [r["docs_per_sec"] for r in larges],
         "pass": eff >= 0.8,
     }
     print(json.dumps(result))
@@ -96,8 +140,8 @@ End-to-end extraction pipeline (documents → extracted_spans + extracted +
 doc_stats materialized; the corpus-wide master-log report is timed
 separately in bench.py) on the deterministic span corpus,
 sf={args.sf} ({small['n_docs']} docs), same input at two parallelism levels,
-fresh JVM per level, median of 3 timed runs after one warmup
-(`scripts/scaling_bench.py`).
+{args.pairs} interleaved fresh-JVM (small, large) pairs, one warmup + one
+timed run each, median per level (`scripts/scaling_bench.py`).
 
 | level | executors | wall (s) | throughput (docs/s) |
 |---|---|---|---|
@@ -105,7 +149,9 @@ fresh JVM per level, median of 3 timed runs after one warmup
 | 4N = {args.n * 4} cores | local-cluster[{args.n},4,12288] | {large['queries']['extract_pipeline']} | {thr_l} |
 
 **Scaling efficiency N→4N: {eff:.3f}** (target ≥0.8 per BASELINE.json) —
-{"PASS" if eff >= 0.8 else "FAIL"}.
+{"PASS" if eff >= 0.8 else "FAIL"}. Per-pair efficiencies: {pair_effs}
+(small docs/s per pair: {[r["docs_per_sec"] for r in smalls]};
+large: {[r["docs_per_sec"] for r in larges]}).
 
 The in-sandbox stand-in for the north rule's two-cluster-size criterion:
 each level runs separate executor *processes* (local-cluster), the honest
