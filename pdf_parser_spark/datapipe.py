@@ -18,6 +18,9 @@ tokenizer:
   * ``gopher_quality``     — per-document repetition/shape metrics and a
     pass flag in the style of the Gopher rules (Rae et al. 2021, §A1.1):
     word-count bounds, mean-word-length bounds, top-word concentration;
+  * ``gopher_line_rules``  — the line-shape half of the Gopher rules:
+    symbol-to-word ratio, bullet-line fraction, ellipsis-line fraction
+    over the newline-bearing text fixture;
   * ``pii_redact``         — regex PII detection + redaction (emails,
     phones, IPv4s, ID numbers) over a deterministic fixture corpus;
   * ``paragraph_dedup``    — C4-style exact paragraph dedup: drop any
@@ -79,7 +82,7 @@ from pyspark.sql import functions as F
 CACHE_DIR = Path(__file__).resolve().parent.parent / ".cache"
 
 # Bump to invalidate the cached fixture corpus.
-TEXT_VER = "t1"
+TEXT_VER = "t2"
 
 # --------------------------------------------------------------------------
 # Ops over the driver `documents` table (direct SQL oracles on the view)
@@ -352,6 +355,76 @@ SELECT doc_id, n_words,
 FROM a
 """
 
+# Gopher line-shape rules (Rae et al. 2021 §A1.1): these need real lines,
+# so they run over the newline-bearing text fixture, not the word-soup
+# `documents` table. Thresholds are the paper's.
+GOPHER_MAX_SYMBOL_RATIO = 0.10  # hash-or-ellipsis symbols per word
+GOPHER_MAX_BULLET_FRAC = 0.90  # lines starting with a bullet
+GOPHER_MAX_ELLIPSIS_FRAC = 0.30  # lines ending with an ellipsis
+
+
+def q_gopher_line_rules(spark, sf_dir):
+    """The line-shape half of the Gopher quality rules (the word-level
+    half is ``gopher_quality``): per doc, the symbol-to-word ratio
+    (hash marks + ellipses), the fraction of lines starting with a
+    bullet, the fraction ending with an ellipsis, and the combined pass
+    flag. Pure per-row JVM expressions (split + HOF filter +
+    regexp_count) — an embarrassingly parallel scan, zero shuffle."""
+    docs = _read_text(spark, sf_dir)
+    lines = F.split("text", "\n")
+    n_lines = F.size(lines)
+    n_bullet = F.size(F.filter(lines, lambda l: l.startswith("- ")))
+    n_ell_end = F.size(F.filter(lines, lambda l: l.endswith("...")))
+    n_words = F.size(F.split("text", r"\s+"))
+    n_sym = F.regexp_count("text", F.lit("#")) + F.regexp_count(
+        "text", F.lit(r"\.\.\.")
+    )
+    sym_ratio = F.round(n_sym / n_words, 4)
+    bullet_frac = F.round(n_bullet / n_lines, 4)
+    ell_frac = F.round(n_ell_end / n_lines, 4)
+    return docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        n_lines.cast("long").alias("n_lines"),
+        sym_ratio.alias("symbol_ratio"),
+        bullet_frac.alias("bullet_line_frac"),
+        ell_frac.alias("ellipsis_line_frac"),
+        (
+            (sym_ratio <= GOPHER_MAX_SYMBOL_RATIO)
+            & (bullet_frac <= GOPHER_MAX_BULLET_FRAC)
+            & (ell_frac <= GOPHER_MAX_ELLIPSIS_FRAC)
+        ).alias("passes"),
+    )
+
+
+def _sql_gopher_line_rules(sf: str) -> str:
+    ensure_text_corpus(sf)
+    return rf"""
+WITH d AS (
+  SELECT doc_id,
+         string_split(text, chr(10)) AS lines,
+         len(string_split_regex(text, '\s+'))::BIGINT AS n_words,
+         (len(regexp_extract_all(text, '#'))
+          + len(regexp_extract_all(text, '\.\.\.')))::BIGINT AS n_sym
+  FROM read_parquet('{corpus_path(sf)}')
+), r AS (
+  SELECT doc_id, n_words, len(lines)::BIGINT AS n_lines,
+         round(n_sym * 1.0 / n_words, 4) AS symbol_ratio,
+         round(len(list_filter(lines, l -> starts_with(l, '- ')))
+               * 1.0 / len(lines), 4) AS bullet_line_frac,
+         round(len(list_filter(lines, l -> ends_with(l, '...')))
+               * 1.0 / len(lines), 4) AS ellipsis_line_frac
+  FROM d
+)
+SELECT doc_id, n_words, n_lines, symbol_ratio, bullet_line_frac,
+       ellipsis_line_frac,
+       (symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO}
+        AND bullet_line_frac <= {GOPHER_MAX_BULLET_FRAC}
+        AND ellipsis_line_frac <= {GOPHER_MAX_ELLIPSIS_FRAC}) AS passes
+FROM r
+"""
+
+
 # --------------------------------------------------------------------------
 # Deterministic text fixture with PII + shared paragraphs
 # --------------------------------------------------------------------------
@@ -390,17 +463,39 @@ def gen_text_doc(i: int, seed: int = 11) -> dict:
     """One fixture doc: 3-8 newline-separated paragraphs; ~30% are drawn
     from the shared boilerplate pool, the rest unique word soup; PII
     tokens are spliced into random word positions. Pure function of
-    (seed, i)."""
+    (seed, i).
+
+    Line shape: most docs are plain, but a slice is bullet-heavy or
+    ellipsis-heavy and a few paragraphs carry hash-mark runs, so the
+    Gopher line rules (``gopher_line_rules``) have real pass AND fail
+    rows instead of a vacuously-green fixture."""
     rnd = random.Random((seed << 32) ^ i)
+    shape = rnd.random()
+    if shape < 0.04:  # bullet-heavy: can trip the 90%-bullet-lines rule
+        p_bullet, p_ellipsis, p_shared = 0.97, 0.0, 0.0
+    elif shape < 0.09:  # ellipsis-heavy: can trip the 30%-ellipsis rule
+        p_bullet, p_ellipsis, p_shared = 0.05, 0.55, 0.0
+    else:
+        p_bullet, p_ellipsis, p_shared = 0.12, 0.06, 0.3
     paras = []
     for _ in range(rnd.randint(3, 8)):
-        if rnd.random() < 0.3:
+        if rnd.random() < p_shared:
             paras.append(rnd.choice(_SHARED_PARAS))
             continue
         words = [rnd.choice(_SOUP) for _ in range(rnd.randint(6, 30))]
         for tok in _pii_tokens(rnd):
             words.insert(rnd.randrange(len(words) + 1), tok)
-        paras.append(" ".join(words))
+        if rnd.random() < 0.07:  # hash-mark runs feed the symbol ratio
+            for _ in range(rnd.randint(1, 6)):
+                words.insert(
+                    rnd.randrange(len(words) + 1), "#" * rnd.randint(1, 3)
+                )
+        para = " ".join(words)
+        if rnd.random() < p_bullet:
+            para = "- " + para
+        elif rnd.random() < p_ellipsis:
+            para = para + "..."
+        paras.append(para)
     return {"doc_id": f"T{i:06d}", "text": "\n".join(paras)}
 
 
@@ -872,6 +967,7 @@ DATAPIPE_QUERIES = {
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "dup_ngram_fraction": (q_dup_ngram_fraction, SQL_DUP_NGRAM_FRACTION),
     "gopher_quality": (q_gopher_quality, SQL_GOPHER_QUALITY),
+    "gopher_line_rules": (q_gopher_line_rules, _sql_gopher_line_rules),
     "pii_redact": (q_pii_redact, _sql_pii_redact),
     "paragraph_dedup": (q_paragraph_dedup, _sql_paragraph_dedup),
     "bpe_token_count": (q_bpe_token_count, SQL_BPE_TOKEN_COUNT),

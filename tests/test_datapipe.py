@@ -41,6 +41,7 @@ def _assert_equal(spark_df, duck_df):
         "pack_sequences",
         "dup_ngram_fraction",
         "gopher_quality",
+        "gopher_line_rules",
         "pii_redact",
         "paragraph_dedup",
         "bpe_token_count",
@@ -214,6 +215,24 @@ def test_decontaminate_non_vacuous_at_sf001():
         f"SELECT count(*) FROM ({dp.SQL_DECONTAMINATE}) WHERE contaminated"
     ).fetchone()[0]
     assert n >= 3
+
+
+def test_gopher_line_rules_non_vacuous_at_sf001():
+    """Each of the three line rules must individually trip on the sf0.01
+    fixture the driver's gate uses — otherwise the pass flag is a
+    vacuously-green conjunction."""
+    import duckdb as _d
+
+    sym, bul, ell = _d.sql(
+        f"""SELECT sum(CASE WHEN symbol_ratio > {dp.GOPHER_MAX_SYMBOL_RATIO}
+                        THEN 1 ELSE 0 END),
+                   sum(CASE WHEN bullet_line_frac > {dp.GOPHER_MAX_BULLET_FRAC}
+                        THEN 1 ELSE 0 END),
+                   sum(CASE WHEN ellipsis_line_frac > {dp.GOPHER_MAX_ELLIPSIS_FRAC}
+                        THEN 1 ELSE 0 END)
+            FROM ({dp._sql_gopher_line_rules('0.01')})"""
+    ).fetchone()
+    assert sym >= 3 and bul >= 3 and ell >= 3
 
 
 def test_near_dup_components_chain(spark):
