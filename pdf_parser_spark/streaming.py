@@ -339,3 +339,47 @@ def windowed_event_counts(
             "total_value",
         )
     )
+
+
+def sessionized_event_counts(
+    events: DataFrame, gap_s: int = 1800, late: str = "1 hour"
+) -> DataFrame:
+    """Streaming twin of the batch 30-min-gap sessionization
+    (analytics.queries.q_event_sessions): per (user, session) the event
+    count, first/last event time, and duration, over a stream of
+    (user_id, ts).
+
+    ``F.session_window`` keeps one mergeable [start, last+gap) interval
+    per open session; in append mode a session emits exactly once, when
+    the watermark — max event time minus ``late`` — passes its end, and
+    an event arriving behind the watermark is dropped rather than
+    reopening an emitted session. State per user is the open session's
+    interval, evicted on emission: bounded by concurrently-open sessions,
+    independent of stream length — the same one-timestamp-per-user state
+    the batch lag-flag formulation implies.
+
+    Boundary parity with the batch query: both merge two events when
+    ``t - prev <= gap_s`` — session_window's merge interval is closed at
+    ``last + gap`` (verified empirically on an exactly-1800 s gap in the
+    driver events table; the lag-flag form splits strictly-greater gaps).
+    The same plan runs unchanged on a batch DataFrame (watermark is a
+    no-op there), which is how the pytest pins batch equivalence."""
+    ev = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    start = F.unix_timestamp("first_ts")
+    end = F.unix_timestamp("last_ts")
+    return (
+        ev.withWatermark("ts", late)
+        .groupBy(F.session_window("ts", f"{gap_s} seconds").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .select(
+            "user_id",
+            start.alias("start_et"),
+            end.alias("end_et"),
+            (end - start).alias("duration_s"),
+            "n_events",
+        )
+    )

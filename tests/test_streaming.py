@@ -283,3 +283,91 @@ def test_windowed_counts_watermark_drops_late(spark, tmp_path):
     # 13:30 window never emitted (watermark still behind its end)
     assert not any(k[0] == 13 for k in got)
     assert len(got) == 2
+
+
+def test_sessionized_counts_match_batch(spark):
+    """The session_window plan, run as a batch DataFrame over the driver
+    events table, must reproduce q_event_sessions' (user, start, end,
+    duration, count) rows exactly — same 30-min-gap semantics, two
+    formulations (lag-flag running sum vs mergeable session windows)."""
+    from pdf_parser_spark.analytics.queries import q_event_sessions
+
+    sf_dir = "/root/testdata/sf0.01"
+    batch = {
+        (r["user_id"], r["start_et"], r["end_et"], r["duration_s"], r["n_events"])
+        for r in q_event_sessions(spark, sf_dir).collect()
+    }
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("user_id", "ts")
+    stream_plan = {
+        (r["user_id"], r["start_et"], r["end_et"], r["duration_s"], r["n_events"])
+        for r in streaming.sessionized_event_counts(ev).collect()
+    }
+    assert len(batch) > 100  # non-vacuous: many sessions at sf0.01
+    assert stream_plan == batch
+
+
+def test_sessionized_counts_streaming_late_event(spark, tmp_path):
+    """Append-mode session emission: a session emits once when the
+    watermark passes its end; a late event behind the watermark is
+    dropped, never reopening the emitted session."""
+    import datetime as dt
+
+    import pandas as pd
+
+    def ts(h, m):
+        return int(dt.datetime(2024, 1, 1, h, m, tzinfo=dt.timezone.utc).timestamp())
+
+    inp = tmp_path / "sess_in"
+    inp.mkdir()
+    # batch 0: user 1 has two events 10 min apart (one session); user 2's
+    # 14:00 event pushes the frontier. Watermark during this batch is
+    # still epoch-0, so nothing emits yet.
+    pd.DataFrame(
+        {"user_id": [1, 1, 2], "ts_epoch": [ts(10, 0), ts(10, 10), ts(14, 0)]}
+    ).to_parquet(inp / "f1.parquet", index=False)
+    # batch 1 runs with watermark 13:00 (14:00 - 1 h lateness) — past user
+    # 1's session end (10:10 + gap), so that session EMITS here; user 2's
+    # 15:00 event keeps the frontier moving.
+    pd.DataFrame({"user_id": [2], "ts_epoch": [ts(15, 0)]}).to_parquet(
+        inp / "f2.parquet", index=False
+    )
+    # batch 2: a LATE event for user 1 at 10:20 — within the gap of the
+    # already-EMITTED session but behind the 14:00 watermark: dropped
+    # entirely (neither mutates the emitted row nor opens a new session).
+    # NB the emission must come first: a late row whose session is still
+    # open in state DOES merge (verified — Spark filters late input
+    # against finalized sessions, not open state), which is why this test
+    # pushes the frontier a second time before sending the late row.
+    pd.DataFrame({"user_id": [1], "ts_epoch": [ts(10, 20)]}).to_parquet(
+        inp / "f3.parquet", index=False
+    )
+
+    from pyspark.sql import functions as F
+
+    stream = (
+        spark.readStream.schema("user_id long, ts_epoch long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(inp))
+        .withColumn("ts", F.timestamp_seconds("ts_epoch"))
+        .select("user_id", "ts")
+    )
+    q = (
+        streaming.sessionized_event_counts(stream)
+        .writeStream.format("memory")
+        .queryName("sesscounts")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["start_et"]): (r["n_events"], r["duration_s"])
+        for r in spark.sql("SELECT * FROM sesscounts").collect()
+    }
+    # user 1's session emitted with exactly the two on-time events; the
+    # late 10:20 event did not extend it (duration stays 600 s).
+    assert got[(1, ts(10, 0))] == (2, 600)
+    # user 2's session never emitted (watermark still behind its end).
+    assert not any(u == 2 for (u, _s) in got)
+    assert len(got) == 1
