@@ -39,7 +39,7 @@ def _vendor_name_col(vendor_col):
     return expr
 
 
-def _routed_ranked(docs: DataFrame) -> DataFrame:
+def _routed_ranked(docs: DataFrame, track: list | None = None) -> DataFrame:
     """Shared admission-router plan: per-doc detection/routing columns
     (vendor_detect.route_columns — one JVM projection folded into the scan)
     + hash first-wins winner flag (`_rn` 1/2) and the slot winner's
@@ -60,20 +60,27 @@ def _routed_ranked(docs: DataFrame) -> DataFrame:
       hot hash in map-side partial combine, and the join-back's hot key
       sits on the big side of an equi-join, which AQE skew-split handles.
 
-    The slim frame is lazily localCheckpoint'ed before it branches into
-    the aggregate and the join-back: without the barrier, Catalyst plans
-    the detection-regex projection into BOTH join sides — the duplicated
+    The slim frame is persist()ed before it branches into the aggregate
+    and the join-back: without the barrier, Catalyst plans the
+    detection-regex projection into BOTH join sides — the duplicated
     expression tree made planning alone take ~30 s and re-ran the
     routing regexes per side. With it, routing is computed once and both
-    branches read the materialized slim rows (O(n_docs) routing columns,
-    no span payloads). On a real cluster this is a reliable checkpoint to
-    the lineage location; lineage.run_with_lineage additionally persists
-    the filtered winner set across its derivations."""
+    branches read the InMemoryRelation (O(n_docs) routing columns, no
+    span payloads). persist, not localCheckpoint: the barrier is the
+    same (InMemoryRelation substitution), but CacheManager entries are
+    released deterministically via ``track``/clearCache, while a
+    localCheckpoint RDD proved unreclaimable even after full GC
+    (UI/listener references pin it), stranding one slim copy per job in
+    executor memory. ``track`` (a list) receives the persisted handle;
+    lineage.run_with_lineage additionally persists the filtered winner
+    set across its derivations."""
     from ..vendor_detect import route_columns
 
     slim = route_columns(docs).select(
         "doc_id", "vendor", "file_hash", "detected", "confidence", "eff_vendor", "pre_reason"
-    ).localCheckpoint(eager=False)
+    ).persist()
+    if track is not None:
+        track.append(slim)
     winners = (
         slim.groupBy("file_hash")
         .agg(F.min_by(F.struct("doc_id", "eff_vendor"), "doc_id").alias("_w"))
@@ -101,13 +108,13 @@ def admission_winners(docs: DataFrame) -> DataFrame:
     return admission_meta(docs).select("doc_id", "eff_vendor")
 
 
-def admission_meta(docs: DataFrame) -> DataFrame:
+def admission_meta(docs: DataFrame, track: list | None = None) -> DataFrame:
     """(doc_id, eff_vendor, file_hash) of every admitted doc — the winner
     set PLUS the doc-level metadata the master log needs, so report
     derivations never have to re-join the span payload just to recover
     three slim columns (the round-2 report_master_log 4.4x regression)."""
     return (
-        _routed_ranked(docs)
+        _routed_ranked(docs, track=track)
         .where((F.col("_rn") == 1) & F.col("pre_reason").isNull())
         .select("doc_id", "eff_vendor", "file_hash")
     )
@@ -575,7 +582,7 @@ def run_pipeline(
         # even in the broadcast case.
         width = spark.sparkContext.defaultParallelism * 4
         if winners is None:
-            winners = admission_meta(docs)
+            winners = admission_meta(docs, track=track)
             if persist:
                 winners = winners.persist()
                 if track is not None:

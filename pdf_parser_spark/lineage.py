@@ -128,8 +128,9 @@ def run_with_lineage(
     # persisted handle feeds the bucket listing, doc_meta, and the pipeline
     # join (run_pipeline's winners=), so the routing regexes run a single
     # time per job. It is O(n_docs) slim rows — tiny next to span bytes.
+    cached: list = []
     slim = (
-        _routed_ranked(docs)
+        _routed_ranked(docs, track=cached)
         .where((F.col("_rn") == 1) & F.col("pre_reason").isNull())
         .select("doc_id", "eff_vendor", "file_hash")
         .withColumn("bucket", _bucket(F.col("doc_id"), n_buckets))
@@ -141,9 +142,9 @@ def run_with_lineage(
     ran = sorted(r["bucket"] for r in slim.select("bucket").distinct().collect())
     if not ran:
         slim.unpersist()
+        for f in cached:
+            f.unpersist()
         return {"job_id": job_id, "buckets_run": 0, "buckets_skipped": len(done)}
-
-    cached: list = []
     out = run_pipeline(
         spark,
         docs,

@@ -95,9 +95,9 @@ def test_resume_admission_skips_completed_docs(spark, docs_df, tmp_path, monkeyp
     seen = {}
     real_ranked = lineage._routed_ranked
 
-    def spy(docs):
+    def spy(docs, **kwargs):
         seen["n_input"] = docs.count()
-        return real_ranked(docs)
+        return real_ranked(docs, **kwargs)
 
     monkeypatch.setattr(lineage, "_routed_ranked", spy)
     expected = {n: _rows(spark, root, n) for n in lineage.OUTPUT_TABLES}
@@ -126,3 +126,27 @@ def test_partial_write_without_lineage_is_rewritten(spark, docs_df, tmp_path):
     assert s["buckets_run"] >= 1
     for name in lineage.OUTPUT_TABLES:
         assert _rows(spark, root, name) == expected[name], name
+
+
+def test_no_stranded_persists_after_run_and_report_read(spark, docs_df, tmp_path):
+    """Unpersist discipline: a lineage run cleans up every frame it
+    persists (the slim winner set + the kernel frames), and a master_log
+    read hands its one load-bearing persisted handle (reports.global_seq)
+    to the caller via ``track`` for release — so a long-lived session
+    (streaming reader, repeated reports) strands nothing in the cache."""
+
+    def n_cached() -> int:
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    root = str(tmp_path / "out_persist")
+    before = n_cached()
+    lineage.run_with_lineage(spark, docs_df, root, "job_p", N_BUCKETS)
+    assert n_cached() == before  # the run released everything it pinned
+
+    track: list = []
+    log = lineage.read_output(spark, root, "master_log", track=track)
+    assert log.count() > 0
+    assert len(track) == 1  # exactly the global_seq handle
+    for f in track:
+        f.unpersist()
+    assert n_cached() == before
