@@ -88,8 +88,25 @@ def main() -> None:
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH.md"))
     args = ap.parse_args()
 
-    smalls, larges = [], []
+    def ceiling() -> dict:
+        """Host's own 4->4N pure-CPU scaling ceiling, right now (see
+        scripts/host_ceiling.py): 1.0 = flat hardware, lower = the host
+        itself degrades with busy cores. Run adjacent to each pair so a
+        pair landing in a degraded host phase is visible as such."""
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "scripts", "host_ceiling.py"),
+             str(args.n), str(args.n * 4)],
+            capture_output=True, text=True,
+        )
+        try:
+            return json.loads(out.stdout.strip().splitlines()[-1])
+        except Exception:
+            return {"ceiling": None}
+
+    smalls, larges, ceilings = [], [], []
     for i in range(args.pairs):
+        c = ceiling()
+        ceilings.append(c)
         s = run_level(args.n, args.sf, runs=1)
         l = run_level(args.n * 4, args.sf, runs=1)
         smalls.append(s)
@@ -98,6 +115,8 @@ def main() -> None:
             json.dumps(
                 {
                     "pair": i + 1,
+                    "host_ceiling": c.get("ceiling"),
+                    "host_per_proc_s": c.get("per_proc_s"),
                     "small_docs_per_sec": s["docs_per_sec"],
                     "large_docs_per_sec": l["docs_per_sec"],
                     "pair_efficiency": round(
@@ -113,11 +132,15 @@ def main() -> None:
 
     small, large = med(smalls), med(larges)
     thr_s, thr_l = small["docs_per_sec"], large["docs_per_sec"]
-    eff = thr_l / (4.0 * thr_s)
     pair_effs = [
         round(l["docs_per_sec"] / (4.0 * s["docs_per_sec"]), 3)
         for s, l in zip(smalls, larges)
     ]
+    # Headline = median of PAIR efficiencies: each pair's two levels ran
+    # back-to-back in the same host window, so the ratio cancels window
+    # drift; a cross-pair median-of-levels ratio can pair a fast-window
+    # large with a slow-window small (or vice versa) and report drift.
+    eff = sorted(pair_effs)[len(pair_effs) // 2]
 
     result = {
         "sf": args.sf,
@@ -128,6 +151,8 @@ def main() -> None:
         },
         "scaling_efficiency": round(eff, 3),
         "pair_efficiencies": pair_effs,
+        "median_pair_efficiency": sorted(pair_effs)[len(pair_effs) // 2],
+        "host_ceilings": [c.get("ceiling") for c in ceilings],
         "small_docs_per_sec_all": [r["docs_per_sec"] for r in smalls],
         "large_docs_per_sec_all": [r["docs_per_sec"] for r in larges],
         "pass": eff >= 0.8,
@@ -149,9 +174,13 @@ timed run each, median per level (`scripts/scaling_bench.py`).
 | 4N = {args.n * 4} cores | local-cluster[{args.n},4,12288] | {large['queries']['extract_pipeline']} | {thr_l} |
 
 **Scaling efficiency N→4N: {eff:.3f}** (target ≥0.8 per BASELINE.json) —
-{"PASS" if eff >= 0.8 else "FAIL"}. Per-pair efficiencies: {pair_effs}
+{"PASS" if eff >= 0.8 else "FAIL"}; headline = median of per-pair
+efficiencies (each pair same-window, so host drift cancels).
+Per-pair efficiencies: {pair_effs}
 (small docs/s per pair: {[r["docs_per_sec"] for r in smalls]};
-large: {[r["docs_per_sec"] for r in larges]}).
+large: {[r["docs_per_sec"] for r in larges]};
+host pure-CPU {args.n}→{args.n * 4} ceiling adjacent to each pair:
+{[c.get("ceiling") for c in ceilings]} — 1.0 = flat hardware).
 
 The in-sandbox stand-in for the north rule's two-cluster-size criterion:
 each level runs separate executor *processes* (local-cluster), the honest
