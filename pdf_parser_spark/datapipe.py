@@ -425,6 +425,171 @@ FROM r
 """
 
 
+# Within-document repetition rules (Rae et al. 2021 §A1.1, Table A1 —
+# the "repetition" column, distinct from the corpus-global
+# dup_ngram_fraction): thresholds are the paper's for the rules kept.
+GOPHER_MAX_DUP_LINE_FRAC = 0.30  # lines that repeat an earlier line
+GOPHER_MAX_DUP_LINE_CHAR_FRAC = 0.20  # chars inside those repeats
+GOPHER_MAX_TOP2_CHAR_FRAC = 0.20  # chars covered by the top 2-gram
+GOPHER_MAX_DUP5_CHAR_FRAC = 0.15  # chars inside duplicated 5-grams
+
+
+def _gram_counts(base: DataFrame, n: int) -> DataFrame:
+    """Per-(doc, n-gram) occurrence counts. The shuffle key is
+    (doc_id, md5(gram)) — 32 bytes however long the gram — with map-side
+    partial aggregation; keys embed doc_id, so a corpus-hot gram never
+    concentrates into one task (unlike a corpus-global count)."""
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("ws") - n),
+        lambda i: F.concat_ws(" ", F.slice("ws", i + 1, n)),
+    )
+    return (
+        base.where(F.size("ws") >= n)
+        .select("doc_id", F.explode(grams).alias("gram"))
+        .select("doc_id", F.md5("gram").alias("h"), F.length("gram").alias("glen"))
+        .groupBy("doc_id", "h")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.max("glen").alias("glen"))
+    )
+
+
+def q_gopher_repetition(spark, sf_dir):
+    """Within-document repetition half of the Gopher rules: duplicate-line
+    fraction and the character mass inside those repeats (both computed
+    in-row — array_distinct + a length-sum fold, zero shuffle), plus the
+    top-2-gram character share and the duplicated-5-gram character
+    fraction (per-doc gram counts via two (doc_id, md5(gram))-keyed hash
+    aggregates, then a per-doc rollup joined back on doc_id).
+
+    Two deliberate, documented simplifications vs the paper's exact
+    character accounting: the top-n-gram share takes max(count × len)
+    over ALL grams — deterministic under ties, monotone in the paper's
+    statistic — and duplicated-gram characters count each beyond-first
+    occurrence in full (overlapping grams double-count), an upper bound
+    that is engine-portable; the paper's position-marking variant needs
+    per-char state that neither SQL engine expresses."""
+    docs = _read_text(spark, sf_dir)
+    lines = F.split("text", "\n")
+    dlines = F.array_distinct(lines)
+
+    def char_sum(arr):
+        return F.aggregate(
+            arr, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        )
+
+    base = docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("text_len"),
+        F.size(lines).cast("long").alias("n_lines"),
+        (F.size(lines) - F.size(dlines)).cast("long").alias("dup_lines"),
+        char_sum(lines).alias("line_chars"),
+        (char_sum(lines) - char_sum(dlines)).alias("dup_line_chars"),
+        F.split("text", r"\s+").alias("ws"),
+    )
+    top2 = (
+        _gram_counts(base, 2)
+        .groupBy("doc_id")
+        .agg(F.max(F.col("cnt") * F.col("glen")).alias("top2_chars"))
+    )
+    dup5 = (
+        _gram_counts(base, 5)
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("cnt") >= 2, (F.col("cnt") - 1) * F.col("glen"))
+                .otherwise(0)
+            ).alias("dup5_chars")
+        )
+    )
+    joined = (
+        base.drop("ws").join(top2, "doc_id", "left").join(dup5, "doc_id", "left")
+    )
+    dup_line_frac = F.round(F.col("dup_lines") / F.col("n_lines"), 4)
+    dup_line_char_frac = F.round(F.col("dup_line_chars") / F.col("line_chars"), 4)
+    top2_frac = F.round(
+        F.coalesce(F.col("top2_chars"), F.lit(0)) / F.col("text_len"), 4
+    )
+    dup5_frac = F.round(
+        F.coalesce(F.col("dup5_chars"), F.lit(0)) / F.col("text_len"), 4
+    )
+    return joined.select(
+        "doc_id",
+        "n_lines",
+        dup_line_frac.alias("dup_line_frac"),
+        dup_line_char_frac.alias("dup_line_char_frac"),
+        top2_frac.alias("top_2gram_char_frac"),
+        dup5_frac.alias("dup_5gram_char_frac"),
+        (
+            (dup_line_frac <= GOPHER_MAX_DUP_LINE_FRAC)
+            & (dup_line_char_frac <= GOPHER_MAX_DUP_LINE_CHAR_FRAC)
+            & (top2_frac <= GOPHER_MAX_TOP2_CHAR_FRAC)
+            & (dup5_frac <= GOPHER_MAX_DUP5_CHAR_FRAC)
+        ).alias("passes"),
+    )
+
+
+def _sql_gopher_repetition(sf: str) -> str:
+    ensure_text_corpus(sf)
+    return rf"""
+WITH d AS (
+  SELECT doc_id, length(text)::BIGINT AS text_len,
+         string_split(text, chr(10)) AS lines,
+         string_split_regex(text, '\s+') AS ws
+  FROM read_parquet('{corpus_path(sf)}')
+), l AS (
+  SELECT doc_id, text_len, ws,
+         len(lines)::BIGINT AS n_lines,
+         (len(lines) - len(list_distinct(lines)))::BIGINT AS dup_lines,
+         list_aggregate(list_transform(lines, x -> length(x)), 'sum')::BIGINT
+           AS line_chars,
+         (list_aggregate(list_transform(lines, x -> length(x)), 'sum')
+          - list_aggregate(list_transform(list_distinct(lines),
+                                          x -> length(x)), 'sum'))::BIGINT
+           AS dup_line_chars
+  FROM d
+), g2 AS (
+  SELECT doc_id, gram, count(*)::BIGINT AS cnt
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(1, len(ws)),
+                      i -> array_to_string(ws[i:i + 1], ' '))) AS gram
+        FROM d WHERE len(ws) >= 2)
+  GROUP BY doc_id, gram
+), t2 AS (
+  SELECT doc_id, max(cnt * length(gram))::BIGINT AS top2_chars
+  FROM g2 GROUP BY doc_id
+), g5 AS (
+  SELECT doc_id, gram, count(*)::BIGINT AS cnt
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(1, len(ws) - 3),
+                      i -> array_to_string(ws[i:i + 4], ' '))) AS gram
+        FROM d WHERE len(ws) >= 5)
+  GROUP BY doc_id, gram
+), d5 AS (
+  SELECT doc_id,
+         SUM(CASE WHEN cnt >= 2 THEN (cnt - 1) * length(gram)
+                  ELSE 0 END)::BIGINT AS dup5_chars
+  FROM g5 GROUP BY doc_id
+), r AS (
+  SELECT l.doc_id, l.n_lines,
+         round(l.dup_lines * 1.0 / l.n_lines, 4) AS dup_line_frac,
+         round(l.dup_line_chars * 1.0 / l.line_chars, 4) AS dup_line_char_frac,
+         round(COALESCE(t2.top2_chars, 0) * 1.0 / l.text_len, 4)
+           AS top_2gram_char_frac,
+         round(COALESCE(d5.dup5_chars, 0) * 1.0 / l.text_len, 4)
+           AS dup_5gram_char_frac
+  FROM l
+  LEFT JOIN t2 ON t2.doc_id = l.doc_id
+  LEFT JOIN d5 ON d5.doc_id = l.doc_id
+)
+SELECT doc_id, n_lines, dup_line_frac, dup_line_char_frac,
+       top_2gram_char_frac, dup_5gram_char_frac,
+       (dup_line_frac <= {GOPHER_MAX_DUP_LINE_FRAC}
+        AND dup_line_char_frac <= {GOPHER_MAX_DUP_LINE_CHAR_FRAC}
+        AND top_2gram_char_frac <= {GOPHER_MAX_TOP2_CHAR_FRAC}
+        AND dup_5gram_char_frac <= {GOPHER_MAX_DUP5_CHAR_FRAC}) AS passes
+FROM r
+"""
+
+
 # --------------------------------------------------------------------------
 # Deterministic text fixture with PII + shared paragraphs
 # --------------------------------------------------------------------------
@@ -968,6 +1133,7 @@ DATAPIPE_QUERIES = {
     "dup_ngram_fraction": (q_dup_ngram_fraction, SQL_DUP_NGRAM_FRACTION),
     "gopher_quality": (q_gopher_quality, SQL_GOPHER_QUALITY),
     "gopher_line_rules": (q_gopher_line_rules, _sql_gopher_line_rules),
+    "gopher_repetition": (q_gopher_repetition, _sql_gopher_repetition),
     "pii_redact": (q_pii_redact, _sql_pii_redact),
     "paragraph_dedup": (q_paragraph_dedup, _sql_paragraph_dedup),
     "bpe_token_count": (q_bpe_token_count, SQL_BPE_TOKEN_COUNT),

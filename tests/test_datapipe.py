@@ -42,6 +42,7 @@ def _assert_equal(spark_df, duck_df):
         "dup_ngram_fraction",
         "gopher_quality",
         "gopher_line_rules",
+        "gopher_repetition",
         "pii_redact",
         "paragraph_dedup",
         "bpe_token_count",
@@ -233,6 +234,56 @@ def test_gopher_line_rules_non_vacuous_at_sf001():
             FROM ({dp._sql_gopher_line_rules('0.01')})"""
     ).fetchone()
     assert sym >= 3 and bul >= 3 and ell >= 3
+
+
+def test_gopher_repetition_known_case(spark, tmp_path, monkeypatch):
+    """Hand-checked repetition stats: doc A repeats a line (trips the
+    30% dup-line rule), doc B repeats 2-grams and 5-grams without any
+    line repetition (trips the top-2-gram and dup-5-gram rules)."""
+    pdf = pd.DataFrame(
+        {
+            "doc_id": ["A", "B"],
+            "text": ["same line\nsame line\nother", "a b c d e f a b c d e f"],
+        }
+    )
+    p = tmp_path / "textdocs.parquet"
+    pdf.to_parquet(p, index=False)
+    monkeypatch.setattr(dp, "corpus_path", lambda sf: str(p))
+    monkeypatch.setattr(dp, "ensure_text_corpus", lambda sf: None)
+    out = dp.q_gopher_repetition(spark, SF_DIR).toPandas().set_index("doc_id")
+    a, b = out.loc["A"], out.loc["B"]
+    assert a["n_lines"] == 3 and a["dup_line_frac"] == pytest.approx(0.3333)
+    # dup line chars: 9 of the 23 line characters sit in the repeat
+    assert a["dup_line_char_frac"] == pytest.approx(0.3913)
+    assert not bool(a["passes"])
+    assert b["dup_line_frac"] == 0.0
+    # "a b" occurs twice (6 chars) over 23 text chars
+    assert b["top_2gram_char_frac"] == pytest.approx(0.2609)
+    # two 5-grams duplicated once each: 2 x 9 chars over 23
+    assert b["dup_5gram_char_frac"] == pytest.approx(0.7826)
+    assert not bool(b["passes"])
+
+
+def test_gopher_repetition_non_vacuous_at_sf001():
+    """Each repetition rule must individually trip on the sf0.01 fixture
+    the driver's gate uses (no vacuously-green conjunction)."""
+    import duckdb as _d
+
+    dl, dlc, t2, d5 = _d.sql(
+        f"""SELECT sum(CASE WHEN dup_line_frac > {dp.GOPHER_MAX_DUP_LINE_FRAC}
+                        THEN 1 ELSE 0 END),
+                   sum(CASE WHEN dup_line_char_frac
+                              > {dp.GOPHER_MAX_DUP_LINE_CHAR_FRAC}
+                        THEN 1 ELSE 0 END),
+                   sum(CASE WHEN top_2gram_char_frac
+                              > {dp.GOPHER_MAX_TOP2_CHAR_FRAC}
+                        THEN 1 ELSE 0 END),
+                   sum(CASE WHEN dup_5gram_char_frac
+                              > {dp.GOPHER_MAX_DUP5_CHAR_FRAC}
+                        THEN 1 ELSE 0 END)
+            FROM ({dp._sql_gopher_repetition('0.01')})"""
+    ).fetchone()
+    assert dl >= 1 and dlc >= 1 and t2 >= 1 and d5 >= 10
 
 
 def test_near_dup_components_chain(spark):
