@@ -590,6 +590,247 @@ FROM r
 """
 
 
+# Funnel rule order: the cheap word/line rules first (in-row, no shuffle),
+# the gram-aggregate repetition rules last — the order a real corpus build
+# applies them, since early rules shrink what later ones must count.
+FUNNEL_RULES = [
+    "word_count",
+    "mean_word_len",
+    "top_word_share",
+    "symbol_ratio",
+    "bullet_lines",
+    "ellipsis_lines",
+    "dup_lines",
+    "dup_line_chars",
+    "top_2gram_chars",
+    "dup_5gram_chars",
+]
+
+
+def q_quality_funnel(spark, sf_dir):
+    """All three Gopher rule families — word-shape, line-shape, and
+    within-doc repetition — fused into ONE pass over the corpus, emitting
+    the filter funnel: per rule, how many documents fail it outright and
+    how many survive the conjunction of rules so far.
+
+    This is the fusion argument made executable: at 100 TB you do not run
+    three separate scans for three rule families. Every in-row metric
+    (word count, mean word length, symbol ratio, line fractions,
+    duplicate-line stats) comes off a single scan's expressions; the three
+    gram aggregates (top word, top 2-gram, duplicated 5-grams) share that
+    scan's split arrays and key their shuffles by (doc_id, md5(gram)).
+    The funnel itself is a single global aggregate (map-side combined)
+    unpivoted to ten rows — the whole artifact is O(rules), not O(docs)."""
+    docs = _read_text(spark, sf_dir)
+    lines = F.split("text", "\n")
+    dlines = F.array_distinct(lines)
+
+    def char_sum(arr):
+        return F.aggregate(
+            arr, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        )
+
+    ws = F.split("text", r"\s+")
+    n_words = F.size(ws).cast("long")
+    n_lines = F.size(lines).cast("long")
+    base = docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("text_len"),
+        n_words.alias("n_words"),
+        n_lines.alias("n_lines"),
+        F.round(char_sum(ws) / n_words, 4).alias("mwl"),
+        F.round(
+            (
+                F.regexp_count("text", F.lit("#"))
+                + F.regexp_count("text", F.lit(r"\.\.\."))
+            )
+            / n_words,
+            4,
+        ).alias("symbol_ratio"),
+        F.round(
+            F.size(F.filter(lines, lambda l: l.startswith("- "))) / n_lines, 4
+        ).alias("bullet_frac"),
+        F.round(
+            F.size(F.filter(lines, lambda l: l.endswith("..."))) / n_lines, 4
+        ).alias("ell_frac"),
+        F.round((F.size(lines) - F.size(dlines)) / n_lines, 4).alias(
+            "dup_line_frac"
+        ),
+        F.round((char_sum(lines) - char_sum(dlines)) / char_sum(lines), 4).alias(
+            "dup_line_char_frac"
+        ),
+        ws.alias("ws"),
+    )
+    w1 = (
+        _gram_counts(base, 1)
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("top_word_cnt"))
+    )
+    top2 = (
+        _gram_counts(base, 2)
+        .groupBy("doc_id")
+        .agg(F.max(F.col("cnt") * F.col("glen")).alias("top2_chars"))
+    )
+    dup5 = (
+        _gram_counts(base, 5)
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("cnt") >= 2, (F.col("cnt") - 1) * F.col("glen"))
+                .otherwise(0)
+            ).alias("dup5_chars")
+        )
+    )
+    flags = (
+        base.drop("ws")
+        .join(w1, "doc_id", "left")
+        .join(top2, "doc_id", "left")
+        .join(dup5, "doc_id", "left")
+        .select(
+            F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS).alias("f1"),
+            F.col("mwl").between(GOPHER_MIN_MWL, GOPHER_MAX_MWL).alias("f2"),
+            (
+                F.round(F.coalesce(F.col("top_word_cnt"), F.lit(0)) / F.col("n_words"), 4)
+                <= GOPHER_MAX_TOP_FRAC
+            ).alias("f3"),
+            (F.col("symbol_ratio") <= GOPHER_MAX_SYMBOL_RATIO).alias("f4"),
+            (F.col("bullet_frac") <= GOPHER_MAX_BULLET_FRAC).alias("f5"),
+            (F.col("ell_frac") <= GOPHER_MAX_ELLIPSIS_FRAC).alias("f6"),
+            (F.col("dup_line_frac") <= GOPHER_MAX_DUP_LINE_FRAC).alias("f7"),
+            (F.col("dup_line_char_frac") <= GOPHER_MAX_DUP_LINE_CHAR_FRAC).alias("f8"),
+            (
+                F.round(F.coalesce(F.col("top2_chars"), F.lit(0)) / F.col("text_len"), 4)
+                <= GOPHER_MAX_TOP2_CHAR_FRAC
+            ).alias("f9"),
+            (
+                F.round(F.coalesce(F.col("dup5_chars"), F.lit(0)) / F.col("text_len"), 4)
+                <= GOPHER_MAX_DUP5_CHAR_FRAC
+            ).alias("f10"),
+        )
+    )
+    aggs = []
+    for k in range(1, 11):
+        fail = F.sum(F.when(~F.col(f"f{k}"), 1).otherwise(0)).cast("long")
+        conj = F.col("f1")
+        for j in range(2, k + 1):
+            conj = conj & F.col(f"f{j}")
+        surv = F.sum(F.when(conj, 1).otherwise(0)).cast("long")
+        aggs += [fail.alias(f"fail{k}"), surv.alias(f"surv{k}")]
+    one = flags.agg(*aggs)
+    stack_args = ", ".join(
+        f"{k}, '{FUNNEL_RULES[k - 1]}', fail{k}, surv{k}" for k in range(1, 11)
+    )
+    return one.selectExpr(
+        f"stack(10, {stack_args}) as (rule_ord, rule, n_fail, survivors)"
+    )
+
+
+def _sql_quality_funnel(sf: str) -> str:
+    ensure_text_corpus(sf)
+    rules = "), (".join(
+        f"{k}, '{FUNNEL_RULES[k - 1]}'" for k in range(1, 11)
+    )
+    conj = {
+        k: " AND ".join(f"f{j}" for j in range(1, k + 1)) for k in range(1, 11)
+    }
+    fail_surv = ",\n         ".join(
+        f"SUM(CASE WHEN NOT f{k} THEN 1 ELSE 0 END)::BIGINT AS fail{k},\n"
+        f"         SUM(CASE WHEN {conj[k]} THEN 1 ELSE 0 END)::BIGINT AS surv{k}"
+        for k in range(1, 11)
+    )
+    pick = "\n    ".join(
+        f"WHEN {k} THEN fail{k}" for k in range(1, 11)
+    )
+    pick_s = "\n    ".join(
+        f"WHEN {k} THEN surv{k}" for k in range(1, 11)
+    )
+    return rf"""
+WITH d AS (
+  SELECT doc_id, text, length(text)::BIGINT AS text_len,
+         string_split(text, chr(10)) AS lines,
+         string_split_regex(text, '\s+') AS ws
+  FROM read_parquet('{corpus_path(sf)}')
+), l AS (
+  SELECT doc_id, text_len, ws,
+         len(ws)::BIGINT AS n_words,
+         len(lines)::BIGINT AS n_lines,
+         round(list_aggregate(list_transform(ws, x -> length(x)), 'sum')
+               * 1.0 / len(ws), 4) AS mwl,
+         round((len(regexp_extract_all(text, '#'))
+                + len(regexp_extract_all(text, '\.\.\.')))
+               * 1.0 / len(ws), 4) AS symbol_ratio,
+         round(len(list_filter(lines, x -> starts_with(x, '- ')))
+               * 1.0 / len(lines), 4) AS bullet_frac,
+         round(len(list_filter(lines, x -> ends_with(x, '...')))
+               * 1.0 / len(lines), 4) AS ell_frac,
+         round((len(lines) - len(list_distinct(lines)))
+               * 1.0 / len(lines), 4) AS dup_line_frac,
+         round((list_aggregate(list_transform(lines, x -> length(x)), 'sum')
+                - list_aggregate(list_transform(list_distinct(lines),
+                                                x -> length(x)), 'sum'))
+               * 1.0
+               / list_aggregate(list_transform(lines, x -> length(x)), 'sum'),
+               4) AS dup_line_char_frac
+  FROM d
+), w1 AS (
+  SELECT doc_id, max(cnt)::BIGINT AS top_word_cnt
+  FROM (SELECT doc_id, word, count(*)::BIGINT AS cnt
+        FROM (SELECT doc_id, unnest(ws) AS word FROM d)
+        GROUP BY doc_id, word)
+  GROUP BY doc_id
+), g2 AS (
+  SELECT doc_id, max(cnt * length(gram))::BIGINT AS top2_chars
+  FROM (SELECT doc_id, gram, count(*)::BIGINT AS cnt
+        FROM (SELECT doc_id,
+                     unnest(list_transform(range(1, len(ws)),
+                            i -> array_to_string(ws[i:i + 1], ' '))) AS gram
+              FROM d WHERE len(ws) >= 2)
+        GROUP BY doc_id, gram)
+  GROUP BY doc_id
+), g5 AS (
+  SELECT doc_id,
+         SUM(CASE WHEN cnt >= 2 THEN (cnt - 1) * length(gram)
+                  ELSE 0 END)::BIGINT AS dup5_chars
+  FROM (SELECT doc_id, gram, count(*)::BIGINT AS cnt
+        FROM (SELECT doc_id,
+                     unnest(list_transform(range(1, len(ws) - 3),
+                            i -> array_to_string(ws[i:i + 4], ' '))) AS gram
+              FROM d WHERE len(ws) >= 5)
+        GROUP BY doc_id, gram)
+  GROUP BY doc_id
+), flags AS (
+  SELECT (l.n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}) AS f1,
+         (l.mwl BETWEEN {GOPHER_MIN_MWL} AND {GOPHER_MAX_MWL}) AS f2,
+         (round(COALESCE(w1.top_word_cnt, 0) * 1.0 / l.n_words, 4)
+          <= {GOPHER_MAX_TOP_FRAC}) AS f3,
+         (l.symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO}) AS f4,
+         (l.bullet_frac <= {GOPHER_MAX_BULLET_FRAC}) AS f5,
+         (l.ell_frac <= {GOPHER_MAX_ELLIPSIS_FRAC}) AS f6,
+         (l.dup_line_frac <= {GOPHER_MAX_DUP_LINE_FRAC}) AS f7,
+         (l.dup_line_char_frac <= {GOPHER_MAX_DUP_LINE_CHAR_FRAC}) AS f8,
+         (round(COALESCE(g2.top2_chars, 0) * 1.0 / l.text_len, 4)
+          <= {GOPHER_MAX_TOP2_CHAR_FRAC}) AS f9,
+         (round(COALESCE(g5.dup5_chars, 0) * 1.0 / l.text_len, 4)
+          <= {GOPHER_MAX_DUP5_CHAR_FRAC}) AS f10
+  FROM l
+  LEFT JOIN w1 ON w1.doc_id = l.doc_id
+  LEFT JOIN g2 ON g2.doc_id = l.doc_id
+  LEFT JOIN g5 ON g5.doc_id = l.doc_id
+), agg AS (
+  SELECT {fail_surv}
+  FROM flags
+), r(rule_ord, rule) AS (VALUES ({rules}))
+SELECT r.rule_ord, r.rule,
+  CASE r.rule_ord
+    {pick}
+  END AS n_fail,
+  CASE r.rule_ord
+    {pick_s}
+  END AS survivors
+FROM r, agg
+"""
+
+
 # --------------------------------------------------------------------------
 # Deterministic text fixture with PII + shared paragraphs
 # --------------------------------------------------------------------------
@@ -1134,6 +1375,7 @@ DATAPIPE_QUERIES = {
     "gopher_quality": (q_gopher_quality, SQL_GOPHER_QUALITY),
     "gopher_line_rules": (q_gopher_line_rules, _sql_gopher_line_rules),
     "gopher_repetition": (q_gopher_repetition, _sql_gopher_repetition),
+    "quality_funnel": (q_quality_funnel, _sql_quality_funnel),
     "pii_redact": (q_pii_redact, _sql_pii_redact),
     "paragraph_dedup": (q_paragraph_dedup, _sql_paragraph_dedup),
     "bpe_token_count": (q_bpe_token_count, SQL_BPE_TOKEN_COUNT),

@@ -43,6 +43,7 @@ def _assert_equal(spark_df, duck_df):
         "gopher_quality",
         "gopher_line_rules",
         "gopher_repetition",
+        "quality_funnel",
         "pii_redact",
         "paragraph_dedup",
         "bpe_token_count",
@@ -284,6 +285,25 @@ def test_gopher_repetition_non_vacuous_at_sf001():
             FROM ({dp._sql_gopher_repetition('0.01')})"""
     ).fetchone()
     assert dl >= 1 and dlc >= 1 and t2 >= 1 and d5 >= 10
+
+
+def test_quality_funnel_shape(spark):
+    """Funnel invariants at the driver's sf: ten rows in rule order,
+    survivors monotonically non-increasing, first-rule survivors =
+    corpus size minus its failures, and real attrition overall (no
+    vacuous all-pass funnel)."""
+    out = (
+        dp.q_quality_funnel(spark, "/root/testdata/sf0.01")
+        .toPandas()
+        .sort_values("rule_ord")
+        .reset_index(drop=True)
+    )
+    assert list(out["rule"]) == dp.FUNNEL_RULES
+    n_docs = dp.text_docs_for_sf(0.01)
+    assert out.loc[0, "survivors"] == n_docs - out.loc[0, "n_fail"]
+    assert (out["survivors"].diff().dropna() <= 0).all()
+    assert out["survivors"].iloc[-1] < n_docs  # something actually drops
+    assert out["survivors"].iloc[-1] > 0  # and not everything
 
 
 def test_near_dup_components_chain(spark):
