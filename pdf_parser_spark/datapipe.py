@@ -434,21 +434,54 @@ GOPHER_MAX_TOP2_CHAR_FRAC = 0.20  # chars covered by the top 2-gram
 GOPHER_MAX_DUP5_CHAR_FRAC = 0.15  # chars inside duplicated 5-grams
 
 
-def _gram_counts(base: DataFrame, n: int) -> DataFrame:
-    """Per-(doc, n-gram) occurrence counts. The shuffle key is
-    (doc_id, md5(gram)) — 32 bytes however long the gram — with map-side
-    partial aggregation; keys embed doc_id, so a corpus-hot gram never
-    concentrates into one task (unlike a corpus-global count)."""
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size("ws") - n),
-        lambda i: F.concat_ws(" ", F.slice("ws", i + 1, n)),
+def _gram_structs(n: int):
+    """Array of (n, md5(gram), char_len) structs for the word n-grams of
+    the ``ws`` column. The start-index list is filtered, not clamped
+    (``sequence(0, size-n)`` DESCENDS when size < n, yielding invalid
+    slice starts), so short docs produce an empty array of the right
+    struct type with no per-size ``where`` branch."""
+    starts = F.filter(
+        F.sequence(F.lit(1), F.size("ws")),
+        lambda i: i <= F.size("ws") - n + 1,
     )
-    return (
-        base.where(F.size("ws") >= n)
-        .select("doc_id", F.explode(grams).alias("gram"))
-        .select("doc_id", F.md5("gram").alias("h"), F.length("gram").alias("glen"))
-        .groupBy("doc_id", "h")
-        .agg(F.count(F.lit(1)).alias("cnt"), F.max("glen").alias("glen"))
+    return F.transform(
+        starts,
+        lambda i: F.struct(
+            F.lit(n).alias("n"),
+            F.md5(F.concat_ws(" ", F.slice("ws", i, n))).alias("h"),
+            (F.length(F.concat_ws(" ", F.slice("ws", i, n)))).alias("glen"),
+        ),
+    )
+
+
+def _gram_rollup(base: DataFrame, sizes: tuple[int, ...], rollup_exprs) -> DataFrame:
+    """Per-doc gram statistics for several gram sizes in ONE pass: one
+    explode of the concatenated (n, md5(gram), len) streams, ONE hash
+    aggregate keyed (doc_id, n, h) — 32-byte keys embedding doc_id, so a
+    corpus-hot gram never concentrates into one task, and map-side
+    combine absorbs within-doc repeats — then one per-doc rollup.
+    ``rollup_exprs`` maps the (n, cnt, glen) rows to output columns."""
+    exploded = base.select(
+        "doc_id", F.explode(F.concat(*[_gram_structs(n) for n in sizes])).alias("g")
+    )
+    counts = exploded.groupBy("doc_id", "g.n", "g.h").agg(
+        F.count(F.lit(1)).alias("cnt"), F.max("g.glen").alias("glen")
+    )
+    return counts.groupBy("doc_id").agg(*rollup_exprs)
+
+
+def _top_chars(n: int):
+    return F.max(
+        F.when(F.col("n") == n, F.col("cnt") * F.col("glen"))
+    )
+
+
+def _dup_chars(n: int):
+    return F.sum(
+        F.when(
+            (F.col("n") == n) & (F.col("cnt") >= 2),
+            (F.col("cnt") - 1) * F.col("glen"),
+        ).otherwise(0)
     )
 
 
@@ -457,8 +490,9 @@ def q_gopher_repetition(spark, sf_dir):
     fraction and the character mass inside those repeats (both computed
     in-row — array_distinct + a length-sum fold, zero shuffle), plus the
     top-2-gram character share and the duplicated-5-gram character
-    fraction (per-doc gram counts via two (doc_id, md5(gram))-keyed hash
-    aggregates, then a per-doc rollup joined back on doc_id).
+    fraction: both gram sizes ride ONE explode and ONE hash aggregate
+    keyed (doc_id, n, md5(gram)) — see ``_gram_rollup`` — then one
+    per-doc rollup joined back on doc_id.
 
     Two deliberate, documented simplifications vs the paper's exact
     character accounting: the top-n-gram share takes max(count × len)
@@ -485,24 +519,12 @@ def q_gopher_repetition(spark, sf_dir):
         (char_sum(lines) - char_sum(dlines)).alias("dup_line_chars"),
         F.split("text", r"\s+").alias("ws"),
     )
-    top2 = (
-        _gram_counts(base, 2)
-        .groupBy("doc_id")
-        .agg(F.max(F.col("cnt") * F.col("glen")).alias("top2_chars"))
+    grams = _gram_rollup(
+        base,
+        (2, 5),
+        [_top_chars(2).alias("top2_chars"), _dup_chars(5).alias("dup5_chars")],
     )
-    dup5 = (
-        _gram_counts(base, 5)
-        .groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(F.col("cnt") >= 2, (F.col("cnt") - 1) * F.col("glen"))
-                .otherwise(0)
-            ).alias("dup5_chars")
-        )
-    )
-    joined = (
-        base.drop("ws").join(top2, "doc_id", "left").join(dup5, "doc_id", "left")
-    )
+    joined = base.drop("ws").join(grams, "doc_id", "left")
     dup_line_frac = F.round(F.col("dup_lines") / F.col("n_lines"), 4)
     dup_line_char_frac = F.round(F.col("dup_line_chars") / F.col("line_chars"), 4)
     top2_frac = F.round(
@@ -616,11 +638,13 @@ def q_quality_funnel(spark, sf_dir):
     This is the fusion argument made executable: at 100 TB you do not run
     three separate scans for three rule families. Every in-row metric
     (word count, mean word length, symbol ratio, line fractions,
-    duplicate-line stats) comes off a single scan's expressions; the three
-    gram aggregates (top word, top 2-gram, duplicated 5-grams) share that
-    scan's split arrays and key their shuffles by (doc_id, md5(gram)).
-    The funnel itself is a single global aggregate (map-side combined)
-    unpivoted to ten rows — the whole artifact is O(rules), not O(docs)."""
+    duplicate-line stats) comes off a single scan's expressions; all three
+    gram statistics (top word, top 2-gram, duplicated 5-grams) ride ONE
+    explode and ONE hash aggregate keyed (doc_id, n, md5(gram)) — see
+    ``_gram_rollup`` — so the whole funnel costs one gram shuffle, not
+    three. The funnel itself is a single global aggregate (map-side
+    combined) unpivoted to ten rows — the artifact is O(rules), not
+    O(docs)."""
     docs = _read_text(spark, sf_dir)
     lines = F.split("text", "\n")
     dlines = F.array_distinct(lines)
@@ -661,31 +685,18 @@ def q_quality_funnel(spark, sf_dir):
         ),
         ws.alias("ws"),
     )
-    w1 = (
-        _gram_counts(base, 1)
-        .groupBy("doc_id")
-        .agg(F.max("cnt").alias("top_word_cnt"))
-    )
-    top2 = (
-        _gram_counts(base, 2)
-        .groupBy("doc_id")
-        .agg(F.max(F.col("cnt") * F.col("glen")).alias("top2_chars"))
-    )
-    dup5 = (
-        _gram_counts(base, 5)
-        .groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(F.col("cnt") >= 2, (F.col("cnt") - 1) * F.col("glen"))
-                .otherwise(0)
-            ).alias("dup5_chars")
-        )
+    grams = _gram_rollup(
+        base,
+        (1, 2, 5),
+        [
+            F.max(F.when(F.col("n") == 1, F.col("cnt"))).alias("top_word_cnt"),
+            _top_chars(2).alias("top2_chars"),
+            _dup_chars(5).alias("dup5_chars"),
+        ],
     )
     flags = (
         base.drop("ws")
-        .join(w1, "doc_id", "left")
-        .join(top2, "doc_id", "left")
-        .join(dup5, "doc_id", "left")
+        .join(grams, "doc_id", "left")
         .select(
             F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS).alias("f1"),
             F.col("mwl").between(GOPHER_MIN_MWL, GOPHER_MAX_MWL).alias("f2"),
