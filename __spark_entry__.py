@@ -20,6 +20,7 @@ from pdf_parser_spark import driver_contract
 from pdf_parser_spark.analytics import ANALYTIC_QUERIES
 from pdf_parser_spark.boilerplate import BOILERPLATE_QUERIES
 from pdf_parser_spark.datapipe import DATAPIPE_QUERIES
+from pdf_parser_spark.lm_filter import LM_QUERIES
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -39,7 +40,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # only queries already green in BOTH CORRECTNESS_r01 and _r02. Whatever
 # still overflows is re-verified in-repo by the identical check
 # (scripts/check_correctness.py → CORRECTNESS_SUPPLEMENT_r03.json).
+# Round-3 additions (lm_perplexity_filter, source_mixture_plan) displace
+# two more doubly-verified queries into the tail.
 _OVERFLOW_TAIL = [
+    "doc_fingerprint",
+    "embedding_lsh_buckets",
     "pricing_summary",
     "shipping_priority",
     "revenue_by_nation",
@@ -61,6 +66,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(driver_contract.pipeline_query_fns())
     for name, (fn, _sql) in DATAPIPE_QUERIES.items():
+        out[name] = fn
+    for name, (fn, _sql) in LM_QUERIES.items():
         out[name] = fn
     for name, (fn, _sql) in BOILERPLATE_QUERIES.items():
         out[name] = fn
@@ -84,5 +91,7 @@ def oracle_sql() -> dict[str, str]:
     for name, (_fn, sql) in BOILERPLATE_QUERIES.items():
         out[name] = sql if isinstance(sql, str) else sql(correctness_sf)
     for name, (_fn, sql) in DATAPIPE_QUERIES.items():
+        out[name] = sql if isinstance(sql, str) else sql(correctness_sf)
+    for name, (_fn, sql) in LM_QUERIES.items():
         out[name] = sql if isinstance(sql, str) else sql(correctness_sf)
     return out

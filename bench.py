@@ -130,9 +130,12 @@ def main() -> None:
 
     from pdf_parser_spark.datapipe import BENCH_DERIVED
 
+    from pdf_parser_spark.lm_filter import LM_QUERIES
+
     all_queries = dict(ANALYTIC_QUERIES)
     all_queries.update(BOILERPLATE_QUERIES)
     all_queries.update(DATAPIPE_QUERIES)
+    all_queries.update(LM_QUERIES)
     for name, (fn, _sql) in all_queries.items():
         if wanted is not None and name not in wanted:
             continue

@@ -1,0 +1,93 @@
+"""LM quality filter + mixture plan (lm_filter.py): Spark-vs-DuckDB
+differential equality on the sf0.001 tables, hand-computed semantics on a
+tiny known corpus, and non-vacuousness of every decision column."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+from pdf_parser_spark import lm_filter as lf
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _duck(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    return con.execute(sql).fetchdf()
+
+
+def _assert_equal(spark_df, duck_df):
+    cols = sorted(duck_df.columns)
+    got = (
+        spark_df.toPandas()[cols]
+        .astype(str)
+        .sort_values(cols)
+        .reset_index(drop=True)
+    )
+    want = duck_df[cols].astype(str).sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
+
+@pytest.mark.parametrize("name", ["lm_perplexity_filter", "source_mixture_plan"])
+def test_differential(spark, name):
+    fn, sql = lf.LM_QUERIES[name]
+    _assert_equal(fn(spark, SF_DIR), _duck(sql))
+
+
+def test_lm_semantics_known_corpus(spark, tmp_path):
+    """Hand-computed add-one trigram NLL on a 3-doc corpus: doc 0 (the
+    train split) fixes the model, docs 1-2 score against it."""
+    rows = [
+        (0, "abcabc", "en", "src0", 6),  # train: tris abc,bca,cab,abc
+        (1, "abcx", "en", "src0", 4),  # abc (in model), bcx (OOV)
+        (2, "zz", "en", "src0", 2),  # too short: excluded
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = {
+        r["doc_id"]: r
+        for r in lf.q_lm_perplexity(spark, str(tmp_path)).collect()
+    }
+    # Model: abc appears 2x in train (>= TRI_MIN_COUNT); bca/cab pruned at 1.
+    # T = 2, V = 1 -> denom 4; logp(abc) = ln(3/4), logp(OOV) = ln(1/4).
+    assert set(out) == {0, 1}
+    exp0 = -(2 * math.log(3 / 4) + 2 * math.log(1 / 4)) / 4
+    exp1 = -(math.log(3 / 4) + math.log(1 / 4)) / 2
+    assert out[0]["n_tris"] == 4 and out[0]["oov_tris"] == 2
+    assert out[1]["n_tris"] == 2 and out[1]["oov_tris"] == 1
+    assert out[0]["avg_nll"] == round(exp0, 4)
+    assert out[1]["avg_nll"] == round(exp1, 4)
+
+
+def test_lm_filter_non_vacuous_at_sf001(spark):
+    pdf = lf.q_lm_perplexity(spark, SF_DIR).toPandas()
+    assert pdf["keep"].any() and (~pdf["keep"]).any(), "threshold must split"
+    assert (pdf["oov_tris"] > 0).any(), "pruning must create OOV mass"
+    assert (pdf["oov_tris"] < pdf["n_tris"]).all()
+
+
+def test_mixture_plan_invariants(spark):
+    pdf = lf.q_source_mixture_plan(spark, SF_DIR).toPandas()
+    budget = int(pdf["src_tokens"].sum())
+    # Integer-floor targets can undershoot by < 1 token per source.
+    assert budget - len(pdf) < int(pdf["target_tokens"].sum()) <= budget
+    assert pdf["upsampled"].any() and (~pdf["upsampled"]).any()
+    up = pdf[pdf["upsampled"]]
+    assert (up["sample_rate"] == 1.0).all()
+    assert (
+        up["n_epochs"]
+        == (-(-up["target_tokens"] // up["src_tokens"])).astype(int)
+    ).all()
+    down = pdf[~pdf["upsampled"]]
+    assert (down["n_epochs"] == 1).all()
+    assert (down["sample_rate"] < 1.0).all() or (
+        down["target_tokens"] == down["src_tokens"]
+    ).all()
