@@ -40,9 +40,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # only queries already green in BOTH CORRECTNESS_r01 and _r02. Whatever
 # still overflows is re-verified in-repo by the identical check
 # (scripts/check_correctness.py → CORRECTNESS_SUPPLEMENT_r03.json).
-# Round-3 additions (lm_perplexity_filter, source_mixture_plan) displace
-# two more doubly-verified queries into the tail.
+# Round-3 additions (lm_perplexity_filter, source_mixture_plan,
+# exact_substring_dedup) displace three more doubly-verified queries
+# into the tail.
 _OVERFLOW_TAIL = [
+    "token_stats_by_lang",
     "doc_fingerprint",
     "embedding_lsh_buckets",
     "pricing_summary",

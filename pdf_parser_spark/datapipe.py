@@ -36,7 +36,12 @@ tokenizer:
     cluster and a first-wins keep flag (free off the hash-min labels);
   * ``decontaminate``       — eval-set decontamination (GPT-3 appendix C
     style): flag any training document sharing a 13-gram with the held-out
-    eval split, via an md5-keyed gram join against a broadcast eval set.
+    eval split, via an md5-keyed gram join against a broadcast eval set;
+  * ``exact_substring_dedup`` — ExactSubstr span removal (Lee et al.
+    2021): delete every word span covered by a K-gram occurring >= 2
+    times corpus-wide, overlapping windows merged via a position-set
+    union (distinct on (doc_id, word_index) — order-free, so both
+    engines compute it identically).
 
 Every query has a direct DuckDB oracle (no materialized-expected
 fallback): md5 and simple-regex semantics agree between the JVM and
@@ -1379,6 +1384,158 @@ def _sql_near_dup_keep() -> str:
     return _sql_near_dup_components_body("documents", MINHASH_BUCKET_CAP, _KEEP_SELECT)
 
 
+# --------------------------------------------------------------------------
+# Exact duplicated-substring dedup (ExactSubstr)
+# --------------------------------------------------------------------------
+
+# Dup-span window width in words. Lee et al. 2021 ("Deduplicating Training
+# Data Makes Language Models Better") use 50 BPE tokens; 8 words here so the
+# short fixture paragraphs (shared pool = 11 words) actually produce spans.
+ESD_K = 8
+
+
+def exact_substring_dedup(docs: DataFrame) -> DataFrame:
+    """ExactSubstr dedup over (doc_id, text): remove every word span covered
+    by a word ``ESD_K``-gram that occurs >= 2 times corpus-wide (across OR
+    within documents), and report per-doc dup statistics.
+
+    This is the remaining dedup family next to exact-hash, paragraph, MinHash
+    and SimHash: Lee et al. 2021 build a corpus-wide suffix array and delete
+    every duplicated substring of >= 50 tokens — a single-machine structure.
+    The shuffle-friendly equivalent used here finds exactly the duplicated
+    windows of >= K words via hashing, then merges overlapping flagged
+    windows into maximal spans:
+
+      1. per doc, all K-gram start positions + md5 of the gram text — one
+         JVM transform over the split array, no Python;
+      2. corpus-global occurrence counts keyed by the 16-byte md5 (partial
+         map-side combine; text itself never shuffles);
+      3. grams with count >= 2 join back (equi-join on the hash key) to
+         flagged (doc_id, pos) rows;
+      4. overlapping windows merge by expanding each flagged window into its
+         K covered word indices and de-duplicating — the merged-interval
+         union without any order-sensitive fold, so it is one distinct +
+         count, identical in both engines;
+      5. kept text = words anti-joined against the covered set, reassembled
+         in order (the one text-bearing shuffle, keyed by doc_id — any
+         ordered rebuild pays it).
+
+    Scale shape (100 TB): the expansion in step 4 multiplies only FLAGGED
+    grams by K (dup fraction is a few percent of a deduped crawl), and both
+    step-4 and step-5 joins are (doc_id, pos)-keyed so they co-partition;
+    the frequency table in step 2 is the only corpus-global exchange and
+    carries 16-byte keys + counts. A production run raises K to the paper's
+    50 and swaps md5 for xxhash64."""
+    ws = F.split("text", " ")
+    base = docs.select(
+        "doc_id", ws.alias("ws"), F.size(ws).cast("long").alias("n_words")
+    )
+    grams = base.where(F.col("n_words") >= ESD_K).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), (F.col("n_words") - ESD_K).cast("int")),
+                lambda i: F.md5(F.concat_ws(" ", F.slice("ws", i + 1, ESD_K))),
+            )
+        ).alias("pos", "h"),
+    )
+    dup = grams.groupBy("h").agg(F.count(F.lit(1)).alias("c")).where(
+        F.col("c") >= 2
+    )
+    flagged = grams.join(dup, "h").select("doc_id", "pos")
+    covered = flagged.select(
+        "doc_id",
+        F.explode(F.sequence("pos", F.col("pos") + ESD_K - 1)).alias("p"),
+    ).distinct()
+    flag_stats = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_grams")
+    )
+    cov_stats = covered.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("covered_words")
+    )
+    words = base.select("doc_id", F.posexplode("ws").alias("p", "w"))
+    kept = (
+        words.join(covered, ["doc_id", "p"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("p", "w"))),
+                    lambda x: x["w"],
+                ),
+                " ",
+            ).alias("kept_text")
+        )
+    )
+    return (
+        base.select("doc_id", "n_words")
+        .join(flag_stats, "doc_id", "left")
+        .join(cov_stats, "doc_id", "left")
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            F.coalesce("n_dup_grams", F.lit(0)).cast("long").alias("n_dup_grams"),
+            F.coalesce("covered_words", F.lit(0))
+            .cast("long")
+            .alias("covered_words"),
+            F.round(
+                F.coalesce("covered_words", F.lit(0)) / F.col("n_words"), 4
+            ).alias("dup_fraction"),
+            F.coalesce("kept_text", F.lit("")).alias("kept_text"),
+        )
+    )
+
+
+def q_exact_substring_dedup(spark, sf_dir):
+    return exact_substring_dedup(_read_text(spark, sf_dir))
+
+
+def _sql_exact_substring_dedup(sf: str) -> str:
+    ensure_text_corpus(sf)
+    k = ESD_K
+    return f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS ws,
+         len(string_split(text, ' '))::BIGINT AS n_words
+  FROM read_parquet('{corpus_path(sf)}')
+), g AS (
+  SELECT doc_id, i - 1 AS pos,
+         md5(array_to_string(ws[i:i+{k - 1}], ' ')) AS h
+  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - {k} + 2)) AS i
+        FROM base WHERE n_words >= {k})
+), dup AS (
+  SELECT h FROM g GROUP BY h HAVING count(*) >= 2
+), fl AS (
+  SELECT g.doc_id, g.pos FROM g JOIN dup USING (h)
+), cov AS (
+  SELECT DISTINCT doc_id, p
+  FROM (SELECT doc_id, unnest(range(pos, pos + {k})) AS p FROM fl)
+), fs AS (
+  SELECT doc_id, count(*)::BIGINT AS n_dup_grams FROM fl GROUP BY doc_id
+), cs AS (
+  SELECT doc_id, count(*)::BIGINT AS covered_words FROM cov GROUP BY doc_id
+), w AS (
+  SELECT doc_id, unnest(ws) AS w, unnest(range(0, len(ws))) AS p FROM base
+), k AS (
+  SELECT w.doc_id, string_agg(w.w, ' ' ORDER BY w.p) AS kept_text
+  FROM w LEFT JOIN cov ON cov.doc_id = w.doc_id AND cov.p = w.p
+  WHERE cov.doc_id IS NULL
+  GROUP BY w.doc_id
+)
+SELECT base.doc_id, base.n_words,
+       COALESCE(fs.n_dup_grams, 0)::BIGINT AS n_dup_grams,
+       COALESCE(cs.covered_words, 0)::BIGINT AS covered_words,
+       round(COALESCE(cs.covered_words, 0) * 1.0 / base.n_words, 4)
+         AS dup_fraction,
+       COALESCE(k.kept_text, '') AS kept_text
+FROM base
+LEFT JOIN fs USING (doc_id)
+LEFT JOIN cs USING (doc_id)
+LEFT JOIN k USING (doc_id)
+"""
+
+
 DATAPIPE_QUERIES = {
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
@@ -1396,6 +1553,10 @@ DATAPIPE_QUERIES = {
     ),
     "near_dup_keep": (q_near_dup_keep, lambda _sf: _sql_near_dup_keep()),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    "exact_substring_dedup": (
+        q_exact_substring_dedup,
+        _sql_exact_substring_dedup,
+    ),
 }
 
 # Queries that are a free projection over another benched query: timing them

@@ -50,6 +50,7 @@ def _assert_equal(spark_df, duck_df):
         "near_dup_components",
         "near_dup_keep",
         "decontaminate",
+        "exact_substring_dedup",
     ],
 )
 def test_differential(spark, name):
@@ -375,3 +376,63 @@ def test_paragraph_dedup_drops_shared_only(spark):
     # at least one doc lost a paragraph and at least one kept everything
     assert (out["n_kept"] < out["n_paragraphs"]).any()
     assert (out["n_kept"] == out["n_paragraphs"]).any()
+
+
+def test_exact_substring_dedup_known_case(spark):
+    """Hand-computed ExactSubstr semantics: a shared 8-word run is removed
+    from both docs; a shared 9-word run produces two OVERLAPPING flagged
+    8-grams that must merge into one 9-word covered span; a unique doc is
+    untouched."""
+    run8 = " ".join(f"A{i}" for i in range(8))
+    run9 = " ".join(f"B{i}" for i in range(9))
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [
+                f"p q r {run8} z1 z2",
+                f"{run8} m n",
+                "u v w x y z a b c",
+                f"{run9} s t",
+                f"k {run9}",
+            ],
+        }
+    )
+    out = (
+        dp.exact_substring_dedup(spark.createDataFrame(pdf))
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    want = {
+        1: (13, 1, 8, 0.6154, "p q r z1 z2"),
+        2: (10, 1, 8, 0.8, "m n"),
+        3: (9, 0, 0, 0.0, "u v w x y z a b c"),
+        4: (11, 2, 9, 0.8182, "s t"),
+        5: (10, 2, 9, 0.9, "k"),
+    }
+    for doc_id, (nw, ng, cw, frac, kept) in want.items():
+        row = out.loc[doc_id]
+        assert row["n_words"] == nw
+        assert row["n_dup_grams"] == ng
+        assert row["covered_words"] == cw
+        assert float(row["dup_fraction"]) == pytest.approx(frac, abs=1e-4)
+        assert row["kept_text"] == kept
+
+
+def test_exact_substring_dedup_non_vacuous(spark):
+    """The fixture's shared-paragraph pool must produce real dup spans:
+    most docs keep everything they should, some lose interior spans, and
+    removal is strictly span-level (kept docs' text is unchanged)."""
+    out = dp.q_exact_substring_dedup(spark, SF_DIR).toPandas()
+    docs = pd.read_parquet(dp.corpus_path("0.001")).set_index("doc_id")
+    assert (out["n_dup_grams"] > 0).sum() > 0
+    assert (out["covered_words"] == 0).sum() > 0
+    flagged = out[out["n_dup_grams"] > 0]
+    clean = out[out["n_dup_grams"] == 0]
+    # flagged docs actually shrank; clean docs round-trip exactly
+    assert (
+        flagged["kept_text"].str.split(" ").str.len()
+        < flagged["n_words"]
+    ).all()
+    for _, row in clean.iterrows():
+        assert row["kept_text"] == docs.loc[row["doc_id"], "text"]
