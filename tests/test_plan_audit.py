@@ -56,6 +56,7 @@ AUDITED = [
     "gopher_repetition",
     "paragraph_dedup",
     "decontaminate",
+    "exact_substring_dedup",
     "boilerplate_blocks",
     "boilerplate_main_text",
 ]
@@ -123,3 +124,13 @@ def test_projection_prunes_scan_columns(spark):
         "lang" not in s and "source" not in s and "n_chars" not in s
         for s in schemas
     ), schemas
+
+
+def test_exact_substring_dedup_aggregates_partially(spark):
+    """The corpus-global gram-frequency aggregate must partially combine
+    map-side (partial_count before the exchange) and every join must be a
+    hash equi-join — the dup-span design's scale story depends on both."""
+    plan = _plan(spark, "exact_substring_dedup")
+    assert "partial_count" in plan, plan[:2000]
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
