@@ -1155,6 +1155,149 @@ SELECT qid, cand_id, dot, rank::BIGINT AS rank FROM (
 """
 
 
+# SemDedup prune threshold. Abbas et al. 2023 use ~0.95+ on real encoder
+# embeddings; the synthetic fixture's within-cluster cosines top out at
+# ~0.47, so 0.3 keeps the decision non-vacuous (both kept and dropped
+# rows exist — asserted in tests).
+SEMDEDUP_K = 8
+SEMDEDUP_TAU = 0.3
+
+
+def q_semdedup_keep(spark, sf_dir):
+    """SemDedup (Abbas et al. 2023): semantic dedup that never compares
+    across clusters. Every vector is assigned to its nearest of K
+    deterministic centroids by cosine (k-means replaced by deterministic
+    seeding — ``vec_id < K`` — so the DuckDB oracle can replay the
+    assignment bit-for-bit, same device as embedding_ivf_knn); within each
+    cluster a vector is DROPPED when its cosine to any lower-id cluster
+    member reaches tau (first-wins keep, the same winner rule as
+    near_dup_keep and the reference's upload dedup).
+
+    Scale shape: the only all-pairs work is per-cluster — exactly the
+    point of SemDedup's clustering (the paper runs 50k clusters over 5B
+    LAION vectors for this reason). The centroid scoring join broadcasts
+    K exploded centroid rows against the vector stream (equi-join on the
+    component index, partial-sum map-side); the pair join is an equi-join
+    on cluster with an id inequality residual, so a hot cluster is the
+    skew unit — at corpus scale K grows with N to bound cluster size, the
+    same guard as MINHASH_BUCKET_CAP. Pair dot products fold left-to-right
+    over the two arrays (zip_with + aggregate, deterministic summation
+    order) and round to 3dp before the threshold, so both engines agree
+    on every borderline pair."""
+    emb = _t(spark, sf_dir, "embeddings")
+    norm_of = lambda col: F.sqrt(
+        F.aggregate(
+            col, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+    e = emb.select("vec_id", "embedding", norm_of(F.col("embedding")).alias("norm"))
+    e_ex = emb.select("vec_id", F.posexplode("embedding").alias("i", "v"))
+    cent_ex = emb.where(f"vec_id < {SEMDEDUP_K}").select(
+        F.col("vec_id").alias("cid"), F.posexplode("embedding").alias("ci", "cv")
+    )
+    cnorms = e.where(f"vec_id < {SEMDEDUP_K}").select(
+        F.col("vec_id").alias("cid"), F.col("norm").alias("cnorm")
+    )
+    cent_cos = (
+        e_ex.join(F.broadcast(cent_ex), e_ex.i == cent_ex.ci)
+        .groupBy("vec_id", "cid")
+        .agg(F.sum(F.col("v").cast("double") * F.col("cv").cast("double")).alias("dot"))
+        .join(F.broadcast(cnorms), "cid")
+        .join(e.select("vec_id", "norm"), "vec_id")
+        .select(
+            "vec_id",
+            "cid",
+            F.round(F.col("dot") / (F.col("norm") * F.col("cnorm")), 3).alias("cos"),
+        )
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cos"), "cid")
+    assign = (
+        cent_cos.withColumn("rn", F.row_number().over(w_assign))
+        .where("rn = 1")
+        .select("vec_id", F.col("cid").alias("cluster"))
+    )
+    m = assign.join(e, "vec_id")
+    a = m.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("ida"),
+        F.col("embedding").alias("ea"),
+        F.col("norm").alias("na"),
+    )
+    b = m.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("idb"),
+        F.col("embedding").alias("eb"),
+        F.col("norm").alias("nb"),
+    )
+    pair_cos = F.round(
+        F.aggregate(
+            F.zip_with(
+                "ea", "eb", lambda x, y: x.cast("double") * y.cast("double")
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / (F.col("na") * F.col("nb")),
+        3,
+    )
+    prior = (
+        a.join(b, ["cluster"])
+        .where(F.col("ida") < F.col("idb"))
+        .select("idb", pair_cos.alias("cos"))
+        .groupBy("idb")
+        .agg(F.max("cos").alias("max_prior_cos"))
+    )
+    return (
+        assign.join(prior, assign.vec_id == prior.idb, "left")
+        .select(
+            "vec_id",
+            F.col("cluster").cast("long").alias("cluster"),
+            F.round(F.coalesce("max_prior_cos", F.lit(-1.0)), 3).alias(
+                "max_prior_cos"
+            ),
+            (
+                F.coalesce("max_prior_cos", F.lit(-1.0)) < SEMDEDUP_TAU
+            ).alias("keep"),
+        )
+    )
+
+
+SQL_SEMDEDUP_KEEP = f"""
+WITH e AS (
+  SELECT vec_id, embedding,
+         sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding])) AS norm
+  FROM embeddings
+), c AS (
+  SELECT vec_id AS cid, embedding AS cemb, norm AS cnorm FROM e
+  WHERE vec_id < {SEMDEDUP_K}
+), d AS (
+  SELECT e.vec_id, c.cid,
+         round(list_sum([CAST(e.embedding[i + 1] AS DOUBLE) * CAST(c.cemb[i + 1] AS DOUBLE)
+                         for i in range(0, len(e.embedding))]) / (e.norm * c.cnorm), 3) AS cos
+  FROM e, c
+), assign AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+    FROM d) t WHERE rn = 1
+), m AS (
+  SELECT a.vec_id, a.cluster, e.embedding, e.norm
+  FROM assign a JOIN e ON e.vec_id = a.vec_id
+), prior AS (
+  SELECT y.vec_id AS idb,
+         max(round(list_sum([CAST(x.embedding[i + 1] AS DOUBLE) * CAST(y.embedding[i + 1] AS DOUBLE)
+                             for i in range(0, len(x.embedding))]) / (x.norm * y.norm), 3))
+           AS max_prior_cos
+  FROM m x JOIN m y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+  GROUP BY y.vec_id
+)
+SELECT a.vec_id, a.cluster::BIGINT AS cluster,
+       round(COALESCE(p.max_prior_cos, -1.0), 3) AS max_prior_cos,
+       COALESCE(p.max_prior_cos, -1.0) < {SEMDEDUP_TAU} AS keep
+FROM assign a LEFT JOIN prior p ON p.idb = a.vec_id
+"""
+
+
 def q_cjk_pages(spark, sf_dir):
     """P8 CJK/multilingual predicate (SURVEY.md §2.2; the reference's
     detect_multilingual_content spec, extractor.py.bak:242-268) over the
@@ -1408,6 +1551,7 @@ ANALYTIC_QUERIES: dict[str, tuple] = {
     "lang_id_ngram": (q_lang_id_ngram, SQL_LANG_ID_NGRAM),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "embedding_ivf_knn": (q_embedding_ivf_knn, SQL_EMBEDDING_IVF_KNN),
+    "semdedup_keep": (q_semdedup_keep, SQL_SEMDEDUP_KEEP),
     # Lazy (callable) oracle: building the SQL materializes the span corpus
     # + expected outputs, which must NOT happen at import time. The driver
     # contract resolves callables with the harness's correctness sf.

@@ -48,6 +48,7 @@ AUDITED = [
     "ngram_jaccard",
     "embedding_near_dup",
     "embedding_ivf_knn",
+    "semdedup_keep",
     "event_sessions",
     "stratified_sample",
     "pack_sequences",
