@@ -220,7 +220,138 @@ SELECT source, n_docs, src_tokens, target_tokens,
 FROM planned
 """
 
+# Funnel stages: (ord, name, n_in column, n_kept column, tokens column).
+_FUNNEL_STAGES = [
+    (0, "ingest", "n0", "n0", "t0"),
+    (1, "gopher_quality", "n0", "n1", "t1"),
+    (2, "lm_perplexity", "n1", "n2", "t2"),
+    (3, "near_dup", "n2", "n3", "t3"),
+    (4, "eval_holdout", "n3", "n4", "t4"),
+    (5, "decontaminate", "n4", "n5", "t5"),
+]
+
+
+def q_corpus_funnel(spark, sf_dir):
+    """The whole corpus build as ONE manifest: per pipeline stage, how many
+    documents and tokens survive — the attrition table every published
+    corpus build reports (C4, Gopher §A1, RefinedWeb tbl. 2, Dolma) and the
+    number that decides cluster budgets at 100 TB.
+
+    Stage order mirrors a real build: cheap rule filters first
+    (gopher_quality), then the model-based filter (lm_perplexity), then
+    near-dup collapse (the expensive LSH runs on the already-filtered
+    survivor set in a real build; here each stage query is reused unchanged
+    and composed by flag conjunction, which yields the same counts because
+    every flag is per-document and independent of the others' outcomes),
+    then the eval holdout split is carved out, then decontamination drops
+    training docs that share 13-grams with that holdout.
+
+    Plan shape: every stage's flag frame reduces to (doc_id, bool) before
+    joining — the joins exchange nothing but ids and booleans — and the six
+    report rows come from ONE aggregate over the joined frame (stack() on a
+    single-row aggregate, not six re-aggregations), so the expensive
+    near-dup labeling is computed exactly once."""
+    from .datapipe import q_decontaminate, q_gopher_quality, q_near_dup_keep
+
+    docs = _docs(spark, sf_dir)
+    base = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("toks")
+    )
+    gq = q_gopher_quality(spark, sf_dir).select(
+        "doc_id", F.col("passes").alias("p1")
+    )
+    lm = q_lm_perplexity(spark, sf_dir).select("doc_id", F.col("keep").alias("p2"))
+    nd = q_near_dup_keep(spark, sf_dir).select("doc_id", F.col("keep").alias("p3"))
+    dc = q_decontaminate(spark, sf_dir).select(
+        "doc_id", (~F.col("contaminated")).alias("clean")
+    )
+    f = (
+        base.join(gq, "doc_id")
+        .join(lm, "doc_id")
+        .join(nd, "doc_id")
+        .join(dc, "doc_id", "left")
+    )
+    surv = [
+        F.col("p1"),
+        F.col("p1") & F.col("p2"),
+        F.col("p1") & F.col("p2") & F.col("p3"),
+        F.col("p1") & F.col("p2") & F.col("p3") & F.col("clean").isNotNull(),
+        F.col("p1")
+        & F.col("p2")
+        & F.col("p3")
+        & F.coalesce(F.col("clean"), F.lit(False)),
+    ]
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        F.sum("toks").cast("long").alias("t0"),
+    ]
+    for i, s in enumerate(surv, start=1):
+        aggs.append(F.sum(s.cast("long")).cast("long").alias(f"n{i}"))
+        aggs.append(
+            F.coalesce(F.sum(F.when(s, F.col("toks"))), F.lit(0))
+            .cast("long")
+            .alias(f"t{i}")
+        )
+    stack = ", ".join(
+        f"CAST({o} AS BIGINT), '{name}', {ni}, {nk}, {tk}"
+        for o, name, ni, nk, tk in _FUNNEL_STAGES
+    )
+    return f.agg(*aggs).selectExpr(
+        f"stack(6, {stack}) AS (stage_ord, stage, n_in, n_kept, tokens_kept)"
+    )
+
+
+def _sql_corpus_funnel(_sf: str) -> str:
+    from .datapipe import (
+        SQL_DECONTAMINATE,
+        SQL_GOPHER_QUALITY,
+        _sql_near_dup_keep,
+    )
+
+    sums = []
+    conds = [
+        "p1",
+        "p1 AND p2",
+        "p1 AND p2 AND p3",
+        "p1 AND p2 AND p3 AND in_train",
+        "p1 AND p2 AND p3 AND clean",
+    ]
+    for i, c in enumerate(conds, start=1):
+        sums.append(f"sum(CASE WHEN {c} THEN 1 ELSE 0 END)::BIGINT AS n{i}")
+        sums.append(
+            f"COALESCE(sum(CASE WHEN {c} THEN toks END), 0)::BIGINT AS t{i}"
+        )
+    stages = "\nUNION ALL ".join(
+        f"SELECT {o}::BIGINT AS stage_ord, '{name}' AS stage, "
+        f"{ni} AS n_in, {nk} AS n_kept, {tk} AS tokens_kept FROM s"
+        for o, name, ni, nk, tk in _FUNNEL_STAGES
+    )
+    return f"""
+WITH gq AS ({SQL_GOPHER_QUALITY}),
+lm AS ({SQL_LM_PERPLEXITY}),
+nd AS ({_sql_near_dup_keep()}),
+dc AS ({SQL_DECONTAMINATE}),
+f AS (
+  SELECT d.doc_id, len(string_split(d.text, ' '))::BIGINT AS toks,
+         gq.passes AS p1, lm.keep AS p2, nd.keep AS p3,
+         dc.doc_id IS NOT NULL AS in_train,
+         COALESCE(NOT dc.contaminated, FALSE) AS clean
+  FROM documents d
+  JOIN gq ON gq.doc_id = d.doc_id
+  JOIN lm ON lm.doc_id = d.doc_id
+  JOIN nd ON nd.doc_id = d.doc_id
+  LEFT JOIN dc ON dc.doc_id = d.doc_id
+), s AS (
+  SELECT count(*)::BIGINT AS n0, sum(toks)::BIGINT AS t0,
+         {", ".join(sums)}
+  FROM f
+)
+{stages}
+"""
+
+
 LM_QUERIES = {
     "lm_perplexity_filter": (q_lm_perplexity, SQL_LM_PERPLEXITY),
     "source_mixture_plan": (q_source_mixture_plan, SQL_SOURCE_MIXTURE_PLAN),
+    "corpus_funnel": (q_corpus_funnel, _sql_corpus_funnel),
 }

@@ -35,10 +35,35 @@ def _assert_equal(spark_df, duck_df):
     pd.testing.assert_frame_equal(got, want)
 
 
-@pytest.mark.parametrize("name", ["lm_perplexity_filter", "source_mixture_plan"])
+@pytest.mark.parametrize(
+    "name", ["lm_perplexity_filter", "source_mixture_plan", "corpus_funnel"]
+)
 def test_differential(spark, name):
     fn, sql = lf.LM_QUERIES[name]
+    if callable(sql):
+        sql = sql("0.001")
     _assert_equal(fn(spark, SF_DIR), _duck(sql))
+
+
+def test_corpus_funnel_invariants():
+    """The manifest must be a true funnel: stage k's n_in equals stage
+    k-1's n_kept, survivors and tokens never increase, and the early
+    stages genuinely drop documents (non-vacuous composition)."""
+    out = (
+        _duck(lf._sql_corpus_funnel("0.001"))
+        .sort_values("stage_ord")
+        .reset_index(drop=True)
+    )
+    assert list(out["stage_ord"]) == [0, 1, 2, 3, 4, 5]
+    assert (out["n_kept"] <= out["n_in"]).all()
+    for k in range(1, 6):
+        assert out.loc[k, "n_in"] == out.loc[k - 1, "n_kept"]
+    assert (out["tokens_kept"].diff().dropna() <= 0).all()
+    # rule filter, LM filter and near-dup each remove something real
+    assert out.loc[1, "n_kept"] < out.loc[1, "n_in"]
+    assert out.loc[2, "n_kept"] < out.loc[2, "n_in"]
+    assert out.loc[3, "n_kept"] < out.loc[3, "n_in"]
+    assert out.loc[5, "n_kept"] > 0
 
 
 def test_lm_semantics_known_corpus(spark, tmp_path):
