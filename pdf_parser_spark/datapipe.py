@@ -1493,12 +1493,16 @@ def q_exact_substring_dedup(spark, sf_dir):
 
 def _sql_exact_substring_dedup(sf: str) -> str:
     ensure_text_corpus(sf)
+    return _sql_exact_substring_body(f"read_parquet('{corpus_path(sf)}')")
+
+
+def _sql_exact_substring_body(from_clause: str) -> str:
     k = ESD_K
     return f"""
 WITH base AS (
   SELECT doc_id, string_split(text, ' ') AS ws,
          len(string_split(text, ' '))::BIGINT AS n_words
-  FROM read_parquet('{corpus_path(sf)}')
+  FROM {from_clause}
 ), g AS (
   SELECT doc_id, i - 1 AS pos,
          md5(array_to_string(ws[i:i+{k - 1}], ' ')) AS h

@@ -41,8 +41,20 @@ def docs_st(draw):
     for i in range(n):
         if texts and draw(st.booleans()) and draw(st.booleans()):
             text = draw(st.sampled_from(texts))  # exact duplicate
+        elif texts and draw(st.booleans()) and draw(st.booleans()):
+            # shared span: an existing text embedded with fresh flanks —
+            # the non-identical-doc duplicated-substring case ExactSubstr
+            # exists for (flagged iff the base is >= 8 words)
+            base = draw(st.sampled_from(texts))
+            pre = draw(st.integers(0, 2))
+            post = draw(st.integers(0, 2))
+            text = " ".join(
+                [draw(st.sampled_from(VOCAB)) for _ in range(pre)]
+                + [base]
+                + [draw(st.sampled_from(VOCAB)) for _ in range(post)]
+            )
         else:
-            k = draw(st.integers(1, 12))
+            k = draw(st.integers(1, 16))
             text = " ".join(draw(st.sampled_from(VOCAB)) for _ in range(k))
         texts.append(text)
         rows.append(
@@ -87,6 +99,24 @@ def test_datapipe_differential_random(spark, tmp_path_factory, pdf):
         )
         want = want[cols].astype(str).sort_values(cols).reset_index(drop=True)
         pd.testing.assert_frame_equal(got, want, obj=name)
+    # exact_substring_dedup's registered query reads the text fixture, so
+    # fuzz the core function over the random table directly. Adversarial
+    # here: docs under K=8 words (no grams at all), byte-identical dup
+    # texts (every window flagged -> kept_text = ''), and an 8-word vocab
+    # that makes accidental cross-doc 8-gram collisions likely.
+    want = con.execute(dp._sql_exact_substring_body("documents")).fetchdf()
+    cols = sorted(want.columns)
+    got = (
+        dp.exact_substring_dedup(
+            spark.read.parquet(str(tmp / "documents.parquet"))
+        )
+        .toPandas()[cols]
+        .astype(str)
+        .sort_values(cols)
+        .reset_index(drop=True)
+    )
+    want = want[cols].astype(str).sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, obj="exact_substring_dedup")
 
 
 @st.composite
