@@ -133,15 +133,24 @@ def test_no_stranded_persists_after_run_and_report_read(spark, docs_df, tmp_path
     persists (the slim winner set + the kernel frames), and a master_log
     read hands its one load-bearing persisted handle (reports.global_seq)
     to the caller via ``track`` for release — so a long-lived session
-    (streaming reader, repeated reports) strands nothing in the cache."""
+    (streaming reader, repeated reports) strands nothing in the cache.
 
-    def n_cached() -> int:
-        return spark.sparkContext._jsc.getPersistentRDDs().size()
+    Compared by RDD-id SET, not count: other tests in the shared session
+    leave GC-owned cache entries (e.g. pack_sequences' lazy
+    localCheckpoint) that the ContextCleaner removes at an arbitrary
+    later moment, so an absolute count can legitimately DROP while this
+    test runs. RDD ids are never reused, so "no new ids remain" is the
+    exact stranding property regardless of concurrent cleanup."""
+
+    def cached_ids() -> set:
+        m = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in m.keySet().toArray()}
 
     root = str(tmp_path / "out_persist")
-    before = n_cached()
+    before = cached_ids()
     lineage.run_with_lineage(spark, docs_df, root, "job_p", N_BUCKETS)
-    assert n_cached() == before  # the run released everything it pinned
+    # the run released everything it pinned
+    assert cached_ids() - before == set()
 
     track: list = []
     log = lineage.read_output(spark, root, "master_log", track=track)
@@ -149,4 +158,4 @@ def test_no_stranded_persists_after_run_and_report_read(spark, docs_df, tmp_path
     assert len(track) == 1  # exactly the global_seq handle
     for f in track:
         f.unpersist()
-    assert n_cached() == before
+    assert cached_ids() - before == set()
