@@ -350,8 +350,52 @@ f AS (
 """
 
 
+def q_ccnet_terciles(spark, sf_dir):
+    """CCNet's actual shipped artifact (Wenzek et al. 2020 §4.3): the
+    corpus split into head / middle / tail by perplexity terciles —
+    downstream consumers train on head+middle and sample tail, so the
+    split IS the dataset interface, not a diagnostic.
+
+    Corpus-global quantiles without a single-partition sort: ranks come
+    from reports.global_seq's two-phase range-partition device (local
+    row_number + tiny broadcast offsets — the same machinery that
+    sequences the master log), and the tercile is integer-exact:
+    ``(3 * (rank - 1)) div n`` — no float on the bucket boundary, so a
+    10^12-row corpus cannot misbucket a boundary doc to double rounding.
+    That formula is exactly SQL's ntile(3) (1 + floor(k*(r-1)/n)), which
+    is what the DuckDB oracle runs."""
+    from .extraction.reports import global_seq
+
+    scored = q_lm_perplexity(spark, sf_dir).select("doc_id", "avg_nll")
+    ranked = global_seq(scored, ["avg_nll", "doc_id"], "rnk")
+    tot = scored.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    idx = F.expr("(3 * (rnk - 1)) div _n")
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "avg_nll",
+            F.element_at(
+                F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
+                (idx + 1).cast("int"),
+            ).alias("tercile"),
+        )
+    )
+
+
+SQL_CCNET_TERCILES = f"""
+WITH lm AS ({SQL_LM_PERPLEXITY})
+SELECT doc_id, avg_nll,
+       CASE ntile(3) OVER (ORDER BY avg_nll, doc_id)
+         WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+       END AS tercile
+FROM lm
+"""
+
+
 LM_QUERIES = {
     "lm_perplexity_filter": (q_lm_perplexity, SQL_LM_PERPLEXITY),
     "source_mixture_plan": (q_source_mixture_plan, SQL_SOURCE_MIXTURE_PLAN),
     "corpus_funnel": (q_corpus_funnel, _sql_corpus_funnel),
+    "ccnet_terciles": (q_ccnet_terciles, SQL_CCNET_TERCILES),
 }

@@ -36,7 +36,13 @@ def _assert_equal(spark_df, duck_df):
 
 
 @pytest.mark.parametrize(
-    "name", ["lm_perplexity_filter", "source_mixture_plan", "corpus_funnel"]
+    "name",
+    [
+        "lm_perplexity_filter",
+        "source_mixture_plan",
+        "corpus_funnel",
+        "ccnet_terciles",
+    ],
 )
 def test_differential(spark, name):
     fn, sql = lf.LM_QUERIES[name]
@@ -116,3 +122,21 @@ def test_mixture_plan_invariants(spark):
     assert (down["sample_rate"] < 1.0).all() or (
         down["target_tokens"] == down["src_tokens"]
     ).all()
+
+
+def test_ccnet_terciles_invariants():
+    """Terciles must be balanced (sizes differ by at most 1, larger
+    buckets first — ntile semantics) and ordered: every head NLL <= every
+    middle NLL <= every tail NLL."""
+    out = _duck(lf.SQL_CCNET_TERCILES)
+    sizes = out["tercile"].value_counts()
+    n = len(out)
+    assert sizes.max() - sizes.min() <= 1
+    assert sizes.get("head", 0) >= sizes.get("middle", 0) >= sizes.get("tail", 0)
+    assert sizes.sum() == n
+    assert out[out["tercile"] == "head"]["avg_nll"].max() <= (
+        out[out["tercile"] == "middle"]["avg_nll"].min()
+    )
+    assert out[out["tercile"] == "middle"]["avg_nll"].max() <= (
+        out[out["tercile"] == "tail"]["avg_nll"].min()
+    )
