@@ -41,9 +41,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # still overflows is re-verified in-repo by the identical check
 # (scripts/check_correctness.py → CORRECTNESS_SUPPLEMENT_r03.json).
 # Round-3 additions (lm_perplexity_filter, source_mixture_plan,
-# exact_substring_dedup, semdedup_keep, corpus_funnel, ccnet_terciles)
-# displace six more doubly-verified queries into the tail.
+# exact_substring_dedup, semdedup_keep, corpus_funnel, ccnet_terciles,
+# mixture_realize) displace seven more doubly-verified queries into the
+# tail.
 _OVERFLOW_TAIL = [
+    "media_features",
     "lang_id_ngram",
     "media_frame_sample",
     "embedding_knn",

@@ -350,6 +350,104 @@ f AS (
 """
 
 
+# Knuth multiplicative hash, the same portable-BIGINT device as
+# datapipe._HASH_* (doc_id reduced mod 2^31-1 before the multiply so the
+# product stays under 2^63 in both engines).
+_MRH_PRE = 2147483647
+_MRH_MULT = 2654435761
+_MRH_MOD = 4294967296
+
+
+def q_mixture_realize(spark, sf_dir):
+    """Materialize the mixture plan: per source, the corpus the training
+    job actually reads. Every doc of an upsampled source is replicated
+    ``target div src`` full epochs, and the fractional remainder is a
+    deterministic token-proportional sample: doc kept for one extra epoch
+    iff ``knuth_hash(doc_id) % src_tokens < target mod src_tokens`` —
+    expected extra tokens are exactly the remainder, every decision is
+    BIGINT arithmetic on broadcastable per-source constants, and a re-run
+    (or the DuckDB oracle) reproduces the identical instance set.
+
+    Scale shape: the plan is a tiny broadcast; the realization is one
+    scan with a per-row epoch explode bounded by the plan's n_epochs —
+    no shuffle until the per-source rollup (map-side combined). A real
+    build writes the exploded instances; this query reports the
+    per-source realization vs target."""
+    docs = _docs(spark, sf_dir)
+    plan = q_source_mixture_plan(spark, sf_dir).select(
+        "source", "src_tokens", "target_tokens", "n_epochs"
+    )
+    n_tokens = F.size(F.split("text", " ")).cast("long")
+    h = (F.col("doc_id") % _MRH_PRE) * _MRH_MULT % _MRH_MOD
+    d = (
+        docs.select("doc_id", "source", n_tokens.alias("n_tokens"))
+        .join(F.broadcast(plan), "source")
+        .withColumn("copies", F.expr("target_tokens div src_tokens"))
+        .withColumn("rem", F.expr("target_tokens % src_tokens"))
+        .withColumn(
+            "replicas",
+            F.col("copies")
+            + (h % F.col("src_tokens") < F.col("rem")).cast("long"),
+        )
+    )
+    inst = d.where("replicas > 0").select(
+        "source",
+        "n_tokens",
+        F.explode(F.sequence(F.lit(1), F.col("replicas"))).alias("epoch"),
+    )
+    agg = inst.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("realized_docs"),
+        F.sum("n_tokens").cast("long").alias("realized_tokens"),
+        F.max("epoch").cast("long").alias("max_epoch"),
+    )
+    return plan.join(agg, "source", "left").select(
+        "source",
+        "src_tokens",
+        "target_tokens",
+        F.coalesce("realized_docs", F.lit(0)).cast("long").alias("realized_docs"),
+        F.coalesce("realized_tokens", F.lit(0))
+        .cast("long")
+        .alias("realized_tokens"),
+        F.coalesce("max_epoch", F.lit(0)).cast("long").alias("max_epoch"),
+        (F.coalesce("realized_tokens", F.lit(0)) - F.col("target_tokens"))
+        .cast("long")
+        .alias("token_deviation"),
+    )
+
+
+SQL_MIXTURE_REALIZE = f"""
+WITH plan AS ({SQL_SOURCE_MIXTURE_PLAN}),
+d AS (SELECT doc_id, source, len(string_split(text, ' '))::BIGINT AS n_tokens
+      FROM documents),
+j AS (
+  SELECT d.source, d.n_tokens,
+         p.target_tokens // p.src_tokens
+           + CASE WHEN ((d.doc_id % {_MRH_PRE}) * {_MRH_MULT}
+                        % {_MRH_MOD}) % p.src_tokens
+                       < p.target_tokens % p.src_tokens
+                  THEN 1 ELSE 0 END AS replicas
+  FROM d JOIN plan p USING (source)
+),
+inst AS (
+  SELECT source, n_tokens, unnest(range(1, replicas + 1)) AS epoch
+  FROM j WHERE replicas > 0
+),
+agg AS (
+  SELECT source, count(*)::BIGINT AS realized_docs,
+         sum(n_tokens)::BIGINT AS realized_tokens,
+         max(epoch)::BIGINT AS max_epoch
+  FROM inst GROUP BY source
+)
+SELECT p.source, p.src_tokens, p.target_tokens,
+       COALESCE(a.realized_docs, 0)::BIGINT AS realized_docs,
+       COALESCE(a.realized_tokens, 0)::BIGINT AS realized_tokens,
+       COALESCE(a.max_epoch, 0)::BIGINT AS max_epoch,
+       (COALESCE(a.realized_tokens, 0) - p.target_tokens)::BIGINT
+         AS token_deviation
+FROM plan p LEFT JOIN agg a USING (source)
+"""
+
+
 def q_ccnet_terciles(spark, sf_dir):
     """CCNet's actual shipped artifact (Wenzek et al. 2020 §4.3): the
     corpus split into head / middle / tail by perplexity terciles —
@@ -398,4 +496,5 @@ LM_QUERIES = {
     "source_mixture_plan": (q_source_mixture_plan, SQL_SOURCE_MIXTURE_PLAN),
     "corpus_funnel": (q_corpus_funnel, _sql_corpus_funnel),
     "ccnet_terciles": (q_ccnet_terciles, SQL_CCNET_TERCILES),
+    "mixture_realize": (q_mixture_realize, SQL_MIXTURE_REALIZE),
 }

@@ -42,6 +42,7 @@ def _assert_equal(spark_df, duck_df):
         "source_mixture_plan",
         "corpus_funnel",
         "ccnet_terciles",
+        "mixture_realize",
     ],
 )
 def test_differential(spark, name):
@@ -140,3 +141,24 @@ def test_ccnet_terciles_invariants():
     assert out[out["tercile"] == "middle"]["avg_nll"].max() <= (
         out[out["tercile"] == "tail"]["avg_nll"].min()
     )
+
+
+def test_mixture_realize_invariants():
+    """Realization must honor the plan: upsampled sources get at least one
+    full epoch (realized >= src_tokens), downsampled sources are a proper
+    subset (realized <= src_tokens, single epoch), epoch counts never
+    exceed the plan's n_epochs, and the grand total lands on the budget
+    (deterministic corpus, so the tolerance is tight)."""
+    real = _duck(lf.SQL_MIXTURE_REALIZE).set_index("source")
+    plan = _duck(lf.SQL_SOURCE_MIXTURE_PLAN).set_index("source")
+    assert set(real.index) == set(plan.index)
+    for src, p in plan.iterrows():
+        r = real.loc[src]
+        assert r["max_epoch"] <= p["n_epochs"]
+        if p["upsampled"]:
+            assert r["realized_tokens"] >= r["src_tokens"]
+        else:
+            assert r["realized_tokens"] <= r["src_tokens"]
+            assert r["max_epoch"] <= 1
+    total_t = real["target_tokens"].sum()
+    assert abs(real["realized_tokens"].sum() - total_t) / total_t < 0.05
