@@ -1385,6 +1385,84 @@ def _sql_near_dup_keep() -> str:
 
 
 # --------------------------------------------------------------------------
+# Tokenizer-prep: vocabulary build + per-doc coverage
+# --------------------------------------------------------------------------
+
+# Sized to the text fixture so BOTH decisions bind (VERDICT round-1
+# no-vacuous-green rule): its ~50 repeated tokens make the top-32 cut a
+# real ranking decision, and its one-off PII tokens are genuinely pruned
+# by min-count. At corpus scale K becomes the tokenizer vocab budget.
+VOCAB_K = 32
+VOCAB_MIN_COUNT = 2  # prune singleton tokens before ranking
+
+
+def q_vocab_coverage(spark, sf_dir):
+    """Tokenizer-prep vocabulary build and its acceptance metric: the
+    corpus-global top-``VOCAB_K`` tokens by frequency (min-count pruned,
+    ties broken by token) form the candidate vocabulary; every document
+    then reports how much of it the vocabulary covers (OOV rate) — the
+    number a tokenizer-training run uses to size its vocab and to spot
+    domains the vocab underserves.
+
+    Scale shape: the frequency table is ONE (token)-keyed aggregate with
+    map-side partial combine; the top-K is ``orderBy().limit(K)``, which
+    Spark executes as TakeOrderedAndProject — a per-partition heap of K
+    rows + a K-row driver merge, never a single-partition sort of the
+    vocabulary (asserted in the plan audit). The K-row vocab broadcasts,
+    so the coverage pass is a map-side join + one doc_id-keyed rollup."""
+    docs = _read_text(spark, sf_dir)
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= VOCAB_MIN_COUNT)
+        .orderBy(F.desc("c"), "tok")
+        .limit(VOCAB_K)
+        .select("tok", F.lit(1).alias("_v"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.coalesce("_v", F.lit(0))).cast("long").alias("in_vocab"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "in_vocab",
+            F.round(1 - F.col("in_vocab") / F.col("n_tokens"), 4).alias(
+                "oov_rate"
+            ),
+        )
+    )
+
+
+def _sql_vocab_coverage(sf: str) -> str:
+    ensure_text_corpus(sf)
+    return _sql_vocab_coverage_body(f"read_parquet('{corpus_path(sf)}')")
+
+
+def _sql_vocab_coverage_body(from_clause: str) -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM {from_clause}
+), v AS (
+  SELECT tok FROM (
+    SELECT tok, count(*) AS c FROM t GROUP BY tok
+    HAVING count(*) >= {VOCAB_MIN_COUNT})
+  ORDER BY c DESC, tok LIMIT {VOCAB_K}
+)
+SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+       sum(CASE WHEN v.tok IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS in_vocab,
+       round(1 - sum(CASE WHEN v.tok IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+               / count(*), 4) AS oov_rate
+FROM t LEFT JOIN v ON v.tok = t.tok
+GROUP BY t.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # Exact duplicated-substring dedup (ExactSubstr)
 # --------------------------------------------------------------------------
 
@@ -1561,6 +1639,7 @@ DATAPIPE_QUERIES = {
         q_exact_substring_dedup,
         _sql_exact_substring_dedup,
     ),
+    "vocab_coverage": (q_vocab_coverage, _sql_vocab_coverage),
 }
 
 # Queries that are a free projection over another benched query: timing them

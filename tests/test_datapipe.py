@@ -51,6 +51,7 @@ def _assert_equal(spark_df, duck_df):
         "near_dup_keep",
         "decontaminate",
         "exact_substring_dedup",
+        "vocab_coverage",
     ],
 )
 def test_differential(spark, name):
@@ -436,3 +437,25 @@ def test_exact_substring_dedup_non_vacuous(spark):
     ).all()
     for _, row in clean.iterrows():
         assert row["kept_text"] == docs.loc[row["doc_id"], "text"]
+
+
+def test_vocab_coverage_semantics():
+    """Both vocabulary decisions must bind on the fixture: the min-count
+    prune (one-off PII tokens are OOV) and the top-K ranking cut (more
+    than VOCAB_K tokens clear min-count), and coverage varies by doc."""
+    import duckdb as _d
+
+    dp.ensure_text_corpus("0.001")
+    con = _d.connect()
+    out = con.execute(dp._sql_vocab_coverage("0.001")).fetchdf()
+    n_candidates = con.execute(
+        "SELECT count(*) FROM (SELECT tok, count(*) c FROM "
+        f"(SELECT unnest(string_split(text, ' ')) tok FROM "
+        f"read_parquet('{dp.corpus_path('0.001')}')) GROUP BY tok "
+        f"HAVING count(*) >= {dp.VOCAB_MIN_COUNT})"
+    ).fetchone()[0]
+    assert n_candidates > dp.VOCAB_K  # the ranking cut is a real decision
+    assert (out["oov_rate"] > 0).any()
+    assert (out["in_vocab"] > 0).all()
+    assert out["oov_rate"].nunique() > 10  # coverage varies by doc
+    assert (out["in_vocab"] <= out["n_tokens"]).all()

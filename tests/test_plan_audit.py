@@ -58,6 +58,7 @@ AUDITED = [
     "paragraph_dedup",
     "decontaminate",
     "exact_substring_dedup",
+    "vocab_coverage",
     "boilerplate_blocks",
     "boilerplate_main_text",
 ]
@@ -135,3 +136,12 @@ def test_exact_substring_dedup_aggregates_partially(spark):
     assert "partial_count" in plan, plan[:2000]
     assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_vocab_topk_never_single_partition_sorts(spark):
+    """The vocabulary top-K must plan as TakeOrderedAndProject (per-task
+    heap + K-row merge), not a global Sort — the difference between a
+    K-row driver merge and sorting the whole vocabulary through one
+    task at corpus scale."""
+    plan = _plan(spark, "vocab_coverage")
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
