@@ -99,9 +99,12 @@ def q_lm_perplexity(spark, sf_dir):
     stats = model.agg(
         F.sum("cnt").alias("t_mass"), F.count(F.lit(1)).alias("v_size")
     )
+    # t_mass coalesces to 0 so the degenerate empty-model corpus (every
+    # train trigram pruned) yields a DEFINED score — ln(1/1) = 0 per
+    # trigram — instead of NULL, whose engine representations diverge.
     logp = F.log(
         (F.coalesce(F.col("cnt"), F.lit(0)) + 1)
-        / (F.col("t_mass") + F.col("v_size") + 1)
+        / (F.coalesce(F.col("t_mass"), F.lit(0)) + F.col("v_size") + 1)
     )
     scored = (
         _trigrams(docs)
@@ -118,8 +121,11 @@ def q_lm_perplexity(spark, sf_dir):
         "doc_id",
         "n_tris",
         "oov_tris",
-        F.round("nll_raw", 4).alias("avg_nll"),
-        (F.round("nll_raw", 4) <= NLL_KEEP_MAX).alias("keep"),
+        # + 0.0 normalizes IEEE negative zero (the empty-model corpus
+        # yields -0.0 in DuckDB, +0.0 in Spark); identity for every other
+        # value, applied identically in the oracle SQL.
+        (F.round("nll_raw", 4) + F.lit(0.0)).alias("avg_nll"),
+        (F.round("nll_raw", 4) + F.lit(0.0) <= NLL_KEEP_MAX).alias("keep"),
     )
 
 
@@ -139,13 +145,14 @@ sc AS (
   SELECT t.doc_id,
          count(*)::BIGINT AS n_tris,
          sum(CASE WHEN m.cnt IS NULL THEN 1 ELSE 0 END)::BIGINT AS oov_tris,
-         -sum(ln((COALESCE(m.cnt, 0) + 1)::DOUBLE / (s.t_mass + s.v_size + 1)))
+         -sum(ln((COALESCE(m.cnt, 0) + 1)::DOUBLE
+                 / (COALESCE(s.t_mass, 0) + s.v_size + 1)))
              / count(*) AS nll_raw
   FROM tris t LEFT JOIN model m USING (tri) CROSS JOIN s
   GROUP BY t.doc_id
 )
-SELECT doc_id, n_tris, oov_tris, round(nll_raw, 4) AS avg_nll,
-       (round(nll_raw, 4) <= {NLL_KEEP_MAX}) AS keep
+SELECT doc_id, n_tris, oov_tris, round(nll_raw, 4) + 0.0 AS avg_nll,
+       (round(nll_raw, 4) + 0.0 <= {NLL_KEEP_MAX}) AS keep
 FROM sc
 """
 

@@ -117,6 +117,30 @@ def test_datapipe_differential_random(spark, tmp_path_factory, pdf):
     )
     want = want[cols].astype(str).sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, obj="exact_substring_dedup")
+    # lm_filter family over the same random table: the trigram LM (train
+    # split = doc_id % 10 == 0, pruned model, add-one smoothing), the
+    # exact-BIGINT mixture plan (incl. the 15-digit source suffix), and
+    # its hash-sampled realization. ccnet_terciles is excluded on purpose:
+    # with a degenerate empty model avg_nll is NULL corpus-wide and the
+    # engines' NULL sort orders differ — that corner is pinned
+    # deterministically in test_lm_filter.py instead.
+    from pdf_parser_spark import lm_filter as lf
+
+    for name in ["lm_perplexity_filter", "source_mixture_plan", "mixture_realize"]:
+        fn, sql = lf.LM_QUERIES[name]
+        if callable(sql):
+            sql = sql("prop")
+        want = con.execute(sql).fetchdf()
+        cols = sorted(want.columns)
+        got = (
+            fn(spark, str(tmp))
+            .toPandas()[cols]
+            .astype(str)
+            .sort_values(cols)
+            .reset_index(drop=True)
+        )
+        want = want[cols].astype(str).sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, obj=name)
 
 
 @st.composite

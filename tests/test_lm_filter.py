@@ -162,3 +162,29 @@ def test_mixture_realize_invariants():
             assert r["max_epoch"] <= 1
     total_t = real["target_tokens"].sum()
     assert abs(real["realized_tokens"].sum() - total_t) / total_t < 0.05
+
+
+def test_lm_empty_model_degenerate_corpus_agrees(spark, tmp_path):
+    """Degenerate corner: the train split's trigrams are all singletons,
+    so min-count pruning empties the model. The score must stay DEFINED
+    (t_mass coalesces to 0 -> every trigram scores ln(1/1) = 0, keep
+    true) — a NULL here has different engine representations and an
+    undefined sort position, which is also why ccnet_terciles needs this
+    pin rather than random fuzz."""
+    rows = [
+        (0, "abcdef", "en", "src0", 6),  # train doc, 4 distinct trigrams
+        (1, "abcabc", "en", "src0", 6),
+        (7, "zzzzz", "en", "src1", 5),
+    ]
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(tmp_path / "documents.parquet", index=False)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path / 'documents.parquet'}'"
+    )
+    want = con.execute(lf.SQL_LM_PERPLEXITY).fetchdf()
+    assert (want["avg_nll"] == 0.0).all()  # empty model -> defined 0 NLL
+    assert (want["oov_tris"] == want["n_tris"]).all()
+    assert want["keep"].all()
+    _assert_equal(lf.q_lm_perplexity(spark, str(tmp_path)), want)
