@@ -120,13 +120,18 @@ def test_datapipe_differential_random(spark, tmp_path_factory, pdf):
     # lm_filter family over the same random table: the trigram LM (train
     # split = doc_id % 10 == 0, pruned model, add-one smoothing), the
     # exact-BIGINT mixture plan (incl. the 15-digit source suffix), and
-    # its hash-sampled realization. ccnet_terciles is excluded on purpose:
-    # with a degenerate empty model avg_nll is NULL corpus-wide and the
-    # engines' NULL sort orders differ — that corner is pinned
-    # deterministically in test_lm_filter.py instead.
+    # its hash-sampled realization, and the tercile split (avg_nll is
+    # defined even for the degenerate empty model — pinned separately in
+    # test_lm_empty_model_degenerate_corpus_agrees — so the ntile order
+    # is total and the split fuzzes cleanly).
     from pdf_parser_spark import lm_filter as lf
 
-    for name in ["lm_perplexity_filter", "source_mixture_plan", "mixture_realize"]:
+    for name in [
+        "lm_perplexity_filter",
+        "source_mixture_plan",
+        "mixture_realize",
+        "ccnet_terciles",
+    ]:
         fn, sql = lf.LM_QUERIES[name]
         if callable(sql):
             sql = sql("prop")
