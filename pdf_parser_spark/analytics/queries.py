@@ -1161,6 +1161,13 @@ SELECT qid, cand_id, dot, rank::BIGINT AS rank FROM (
 # rows exist — asserted in tests).
 SEMDEDUP_K = 8
 SEMDEDUP_TAU = 0.3
+# Hot-cluster guard, same policy as MINHASH_BUCKET_CAP: a cluster larger
+# than this is excluded from the quadratic pair join and its members are
+# flagged overflow (kept, deferred to a re-clustering pass) instead of
+# letting one mega-cluster go O(n^2) in a single task. Sized to BIND on
+# the fixture (cluster sizes straddle 64 at both sf) — the guard is a
+# tested decision, not a dead branch.
+SEMDEDUP_CLUSTER_CAP = 64
 
 
 def q_semdedup_keep(spark, sf_dir):
@@ -1179,11 +1186,14 @@ def q_semdedup_keep(spark, sf_dir):
     K exploded centroid rows against the vector stream (equi-join on the
     component index, partial-sum map-side); the pair join is an equi-join
     on cluster with an id inequality residual, so a hot cluster is the
-    skew unit — at corpus scale K grows with N to bound cluster size, the
-    same guard as MINHASH_BUCKET_CAP. Pair dot products fold left-to-right
-    over the two arrays (zip_with + aggregate, deterministic summation
-    order) and round to 3dp before the threshold, so both engines agree
-    on every borderline pair."""
+    skew unit — clusters above ``SEMDEDUP_CLUSTER_CAP`` are excluded from
+    the pair join entirely and their members flagged ``overflow`` (kept,
+    deferred to a re-clustering pass), the exact policy of
+    MINHASH_BUCKET_CAP: a boilerplate mega-cluster cannot go quadratic in
+    one task. Pair dot products fold left-to-right over the two arrays
+    (zip_with + aggregate, deterministic summation order) and round to
+    3dp before the threshold, so both engines agree on every borderline
+    pair."""
     emb = _t(spark, sf_dir, "embeddings")
     norm_of = lambda col: F.sqrt(
         F.aggregate(
@@ -1216,7 +1226,13 @@ def q_semdedup_keep(spark, sf_dir):
         .where("rn = 1")
         .select("vec_id", F.col("cid").alias("cluster"))
     )
-    m = assign.join(e, "vec_id")
+    sizes = assign.groupBy("cluster").agg(F.count(F.lit(1)).alias("csize"))
+    assign = assign.join(F.broadcast(sizes), "cluster").select(
+        "vec_id",
+        "cluster",
+        (F.col("csize") > SEMDEDUP_CLUSTER_CAP).alias("overflow"),
+    )
+    m = assign.where(~F.col("overflow")).join(e, "vec_id")
     a = m.select(
         F.col("cluster"),
         F.col("vec_id").alias("ida"),
@@ -1258,6 +1274,7 @@ def q_semdedup_keep(spark, sf_dir):
             (
                 F.coalesce("max_prior_cos", F.lit(-1.0)) < SEMDEDUP_TAU
             ).alias("keep"),
+            "overflow",
         )
     )
 
@@ -1275,14 +1292,20 @@ WITH e AS (
          round(list_sum([CAST(e.embedding[i + 1] AS DOUBLE) * CAST(c.cemb[i + 1] AS DOUBLE)
                          for i in range(0, len(e.embedding))]) / (e.norm * c.cnorm), 3) AS cos
   FROM e, c
-), assign AS (
+), assign0 AS (
   SELECT vec_id, cid AS cluster FROM (
     SELECT vec_id, cid,
            row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
     FROM d) t WHERE rn = 1
+), sizes AS (
+  SELECT cluster, count(*)::BIGINT AS csize FROM assign0 GROUP BY cluster
+), assign AS (
+  SELECT a.vec_id, a.cluster, s.csize > {SEMDEDUP_CLUSTER_CAP} AS overflow
+  FROM assign0 a JOIN sizes s ON s.cluster = a.cluster
 ), m AS (
   SELECT a.vec_id, a.cluster, e.embedding, e.norm
   FROM assign a JOIN e ON e.vec_id = a.vec_id
+  WHERE NOT a.overflow
 ), prior AS (
   SELECT y.vec_id AS idb,
          max(round(list_sum([CAST(x.embedding[i + 1] AS DOUBLE) * CAST(y.embedding[i + 1] AS DOUBLE)
@@ -1293,7 +1316,8 @@ WITH e AS (
 )
 SELECT a.vec_id, a.cluster::BIGINT AS cluster,
        round(COALESCE(p.max_prior_cos, -1.0), 3) AS max_prior_cos,
-       COALESCE(p.max_prior_cos, -1.0) < {SEMDEDUP_TAU} AS keep
+       COALESCE(p.max_prior_cos, -1.0) < {SEMDEDUP_TAU} AS keep,
+       a.overflow
 FROM assign a LEFT JOIN prior p ON p.idb = a.vec_id
 """
 

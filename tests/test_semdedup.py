@@ -9,6 +9,7 @@ import pandas as pd
 
 from pdf_parser_spark.analytics.queries import (
     ANALYTIC_QUERIES,
+    SEMDEDUP_CLUSTER_CAP,
     SEMDEDUP_TAU,
     SQL_SEMDEDUP_KEEP,
 )
@@ -26,7 +27,7 @@ def _duck() -> pd.DataFrame:
 
 def test_semdedup_differential(spark):
     fn, _sql = ANALYTIC_QUERIES["semdedup_keep"]
-    cols = ["vec_id", "cluster", "max_prior_cos", "keep"]
+    cols = ["vec_id", "cluster", "max_prior_cos", "keep", "overflow"]
     got = (
         fn(spark, SF_DIR)
         .toPandas()[cols]
@@ -44,12 +45,26 @@ def test_semdedup_decision_invariants():
     assert len(out) == len(out["vec_id"].unique())
     assert (~out["keep"]).sum() > 0
     assert out["keep"].sum() > 0
-    # drop iff a lower-id cluster member reaches tau
-    dropped = out[~out["keep"]]
-    kept = out[out["keep"]]
+    # the hot-cluster guard binds: both overflow and dedup-active
+    # clusters exist, the flag exactly tracks cluster size, and overflow
+    # members are all deferred-kept with no pair score
+    sizes = out.groupby("cluster").size()
+    assert (sizes > SEMDEDUP_CLUSTER_CAP).any()
+    assert (sizes <= SEMDEDUP_CLUSTER_CAP).any()
+    for cl, sz in sizes.items():
+        members = out[out["cluster"] == cl]
+        assert (members["overflow"] == (sz > SEMDEDUP_CLUSTER_CAP)).all()
+    ovf = out[out["overflow"]]
+    assert ovf["keep"].all()
+    assert (ovf["max_prior_cos"] == -1.0).all()
+    # drop iff a lower-id member of a dedup-active cluster reaches tau
+    active = out[~out["overflow"]]
+    dropped = active[~active["keep"]]
+    kept = active[active["keep"]]
+    assert len(dropped) > 0
     assert (dropped["max_prior_cos"] >= SEMDEDUP_TAU).all()
     assert (kept["max_prior_cos"] < SEMDEDUP_TAU).all()
-    # first-wins: each cluster's minimum vec_id has no prior, so it is kept
-    firsts = out.loc[out.groupby("cluster")["vec_id"].idxmin()]
+    # first-wins: each active cluster's minimum vec_id has no prior
+    firsts = active.loc[active.groupby("cluster")["vec_id"].idxmin()]
     assert firsts["keep"].all()
     assert (firsts["max_prior_cos"] == -1.0).all()
