@@ -42,9 +42,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # (scripts/check_correctness.py → CORRECTNESS_SUPPLEMENT_r03.json).
 # Round-3 additions (lm_perplexity_filter, source_mixture_plan,
 # exact_substring_dedup, semdedup_keep, corpus_funnel, ccnet_terciles,
-# mixture_realize, vocab_coverage) displace eight more doubly-verified
-# queries into the tail.
+# mixture_realize, vocab_coverage, dsir_select) displace nine more
+# doubly-verified queries into the tail.
 _OVERFLOW_TAIL = [
+    "embedding_ivf_knn",
     "regex_token_extract",
     "media_features",
     "lang_id_ngram",

@@ -498,8 +498,139 @@ FROM lm
 """
 
 
+# --- DSIR: data selection via importance resampling (Xie et al. 2023) ---
+#
+# Hashed n-gram feature buckets: the first DSIR_BUCKET_HEX hex chars of
+# md5(gram) — the bucket KEY stays a string, which both engines compute
+# identically (no hex→int conversion, which the oracle engine lacks).
+DSIR_BUCKET_HEX = 3
+DSIR_B = 16 ** DSIR_BUCKET_HEX  # smoothing denominator: the full hashed vocab
+# Target domain: English documents (the paper's target is a formal-text
+# corpus; lang is the shape the testdata provides for "looks like the
+# target distribution").
+DSIR_TARGET_LANG = "en"
+# Selection budget: a FIXED document count, the paper's regime (select k
+# docs for the training budget), which is what keeps global selection
+# scale-safe: bounded-k top-k is TakeOrderedAndProject (per-partition
+# heaps + a k·parts driver merge), never a corpus sort. A fractional
+# budget would instead ride the ccnet_terciles two-phase rank device.
+DSIR_K = 200
+
+
+def q_dsir_select(spark, sf_dir):
+    """DSIR data selection (Xie et al., NeurIPS 2023): score every raw
+    document by the log importance weight of a hashed bag-of-ngrams
+    bigram model of the target domain against one of the raw corpus,
+    then sample the selection without replacement via Gumbel top-k.
+
+    Model: word unigrams+bigrams hashed into ``DSIR_B`` buckets;
+    p(bucket) is add-one smoothed over the full hashed vocab for both
+    the target (lang=en) and raw distributions. log w(doc) =
+    Σ_grams [ln p_target(b) − ln p_raw(b)]. The Gumbel key is
+    log w + g where g = −ln(−ln(u)) and u is a deterministic
+    Knuth-hash uniform of doc_id — rerun-stable sampling, same device
+    as ``mixture_realize`` (rand() would unfix the selected set).
+
+    Scale shape (100 TB): BOTH bucket models come from ONE aggregate
+    over the gram stream (count + conditional count per bucket,
+    map-side combined; ≤ DSIR_B rows leave each task). The ratio table
+    is ≤ DSIR_B rows → broadcast, so scoring is a shuffle-free map
+    join + one doc_id-keyed partial-agg reduce. Selection is bounded-k
+    TakeOrderedAndProject on (rounded key desc, doc_id) — the rounding
+    + id tiebreak makes the boundary engine-portable."""
+    docs = _docs(spark, sf_dir)
+    ws = F.split("text", " ")
+    uni = F.transform(ws, lambda w: F.substring(F.md5(w), 1, DSIR_BUCKET_HEX))
+    big_idx = F.when(
+        F.size(ws) >= 2, F.sequence(F.lit(1), F.size(ws) - 1)
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    big = F.transform(
+        big_idx,
+        lambda i: F.substring(
+            F.md5(F.concat_ws(" ", F.slice(ws, i, 2))), 1, DSIR_BUCKET_HEX
+        ),
+    )
+    grams = docs.select(
+        "doc_id", "lang", F.explode(F.concat(uni, big)).alias("b")
+    )
+    model = grams.groupBy("b").agg(
+        F.count(F.lit(1)).alias("rc"),
+        F.sum(
+            (F.col("lang") == DSIR_TARGET_LANG).cast("long")
+        ).alias("tc"),
+    )
+    tot = model.agg(F.sum("rc").alias("r_mass"), F.sum("tc").alias("t_mass"))
+    ratio = model.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (
+            F.log((F.col("tc") + 1) / (F.col("t_mass") + DSIR_B))
+            - F.log((F.col("rc") + 1) / (F.col("r_mass") + DSIR_B))
+        ).alias("lr"),
+    )
+    scored = (
+        grams.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("lr").alias("log_w_raw"),
+        )
+    )
+    u = (
+        (F.col("doc_id") % _MRH_PRE) * _MRH_MULT % _MRH_MOD + 0.5
+    ) / _MRH_MOD
+    key = F.round(F.col("log_w_raw") - F.log(-F.log(u)), 4) + F.lit(0.0)
+    return (
+        scored.select(
+            "doc_id",
+            "n_grams",
+            (F.round("log_w_raw", 4) + F.lit(0.0)).alias("log_w"),
+            key.alias("gumbel_key"),
+        )
+        .orderBy(F.desc("gumbel_key"), F.asc("doc_id"))
+        .limit(DSIR_K)
+    )
+
+
+SQL_DSIR_SELECT = f"""
+WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+g AS (
+  SELECT doc_id, lang, substring(md5(u.w), 1, {DSIR_BUCKET_HEX}) AS b
+  FROM d, LATERAL (SELECT unnest(ws) AS w) u
+  UNION ALL
+  SELECT doc_id, lang,
+         substring(md5(ws[i.i] || ' ' || ws[i.i + 1]), 1, {DSIR_BUCKET_HEX}) AS b
+  FROM d, LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i) i
+  WHERE len(ws) >= 2
+),
+m AS (
+  SELECT b, count(*)::BIGINT AS rc,
+         sum(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END)::BIGINT AS tc
+  FROM g GROUP BY b
+),
+tot AS (SELECT sum(rc) AS r_mass, sum(tc) AS t_mass FROM m),
+r AS (
+  SELECT b, ln((tc + 1)::DOUBLE / (t_mass + {DSIR_B}))
+            - ln((rc + 1)::DOUBLE / (r_mass + {DSIR_B})) AS lr
+  FROM m CROSS JOIN tot
+),
+sc AS (
+  SELECT g.doc_id, count(*)::BIGINT AS n_grams, sum(r.lr) AS log_w_raw
+  FROM g JOIN r USING (b) GROUP BY g.doc_id
+)
+SELECT doc_id, n_grams,
+       round(log_w_raw, 4) + 0.0 AS log_w,
+       round(log_w_raw
+             - ln(-ln((((doc_id % {_MRH_PRE}) * {_MRH_MULT} % {_MRH_MOD})
+                       + 0.5) / {_MRH_MOD})), 4) + 0.0 AS gumbel_key
+FROM sc
+ORDER BY gumbel_key DESC, doc_id
+LIMIT {DSIR_K}
+"""
+
+
 LM_QUERIES = {
     "lm_perplexity_filter": (q_lm_perplexity, SQL_LM_PERPLEXITY),
+    "dsir_select": (q_dsir_select, SQL_DSIR_SELECT),
     "source_mixture_plan": (q_source_mixture_plan, SQL_SOURCE_MIXTURE_PLAN),
     "corpus_funnel": (q_corpus_funnel, _sql_corpus_funnel),
     "ccnet_terciles": (q_ccnet_terciles, SQL_CCNET_TERCILES),

@@ -43,6 +43,7 @@ def _assert_equal(spark_df, duck_df):
         "corpus_funnel",
         "ccnet_terciles",
         "mixture_realize",
+        "dsir_select",
     ],
 )
 def test_differential(spark, name):
@@ -162,6 +163,24 @@ def test_mixture_realize_invariants():
             assert r["max_epoch"] <= 1
     total_t = real["target_tokens"].sum()
     assert abs(real["realized_tokens"].sum() - total_t) / total_t < 0.05
+
+
+def test_dsir_selects_toward_target(spark):
+    """The defining DSIR property: importance resampling over a
+    target=en bigram model must OVERREPRESENT English documents in the
+    selection relative to the raw corpus (else the weights are noise),
+    while the Gumbel noise must keep the selection a sample, not a
+    deterministic top-k of log_w alone (some non-target docs survive)."""
+    sel = lf.q_dsir_select(spark, SF_DIR).toPandas()
+    assert len(sel) == lf.DSIR_K
+    assert sel["gumbel_key"].is_unique or len(sel) == lf.DSIR_K
+    langs = _duck("SELECT doc_id, lang FROM documents").set_index("doc_id")[
+        "lang"
+    ]
+    corpus_en = (langs == lf.DSIR_TARGET_LANG).mean()
+    sel_en = (langs.loc[sel["doc_id"]] == lf.DSIR_TARGET_LANG).mean()
+    assert sel_en > corpus_en, (sel_en, corpus_en)
+    assert sel_en < 1.0, "Gumbel noise must admit some non-target docs"
 
 
 def test_lm_empty_model_degenerate_corpus_agrees(spark, tmp_path):
