@@ -994,8 +994,23 @@ FROM best
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup: candidate pairs form only inside a sign-LSH
     bucket (the scale path — no all-pairs cross join), then exact cosine on
-    candidates; pairs with rounded cosine >= 0.3 survive. Norms are
-    precomputed per vector (one pass) and joined onto the dot products."""
+    candidates; pairs with rounded cosine >= 0.3 survive.
+
+    The cosine is computed IN-ROW on the joined pair (zip_with product +
+    left-to-right aggregate fold — the same device semdedup_keep uses, and
+    the same measured win as near_dup_components' array_intersect verify):
+    each side of the bucket equi-join carries its array once (m·D values
+    per side), instead of the previous per-dimension posexplode join whose
+    intermediate was m²·D skinny rows per bucket plus a wide pair-keyed
+    aggregate whose summation order differed from the oracle's in-row
+    list_sum. The fold order is deterministic and identical in both
+    engines, so 3dp-borderline pairs cannot flip.
+
+    Scale knob: bucket population is corpus_size / 2^bits, so at 100 TB
+    you raise the sign-bit count (8 here → 24-32 there, optionally
+    multi-table for recall) until buckets bound the quadratic term — the
+    knob is bits, not a size cap, because with 2^8 buckets EVERY bucket
+    is hot at that scale and a cap would just silence the query."""
     emb = _t(spark, sf_dir, "embeddings")
     bucket = F.concat_ws(
         "",
@@ -1004,39 +1019,36 @@ def q_embedding_near_dup(spark, sf_dir):
             for i in range(8)
         ],
     )
-    norms = emb.select(
-        "vec_id",
-        bucket.alias("bucket"),
-        F.sqrt(
-            F.aggregate(
-                "embedding", F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
-            )
-        ).alias("norm"),
-    )
-    e = emb.select(
-        "vec_id", bucket.alias("bucket"), F.posexplode("embedding").alias("i", "v")
-    )
-    a, b = e.alias("a"), e.alias("b")
-    dots = (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.i") == F.col("b.i"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+    norm = F.sqrt(
+        F.aggregate(
+            "embedding", F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
         )
-        .groupBy(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
-        .agg(F.sum(F.col("a.v").cast("double") * F.col("b.v").cast("double")).alias("dot"))
     )
-    na = norms.select(F.col("vec_id").alias("id_a"), F.col("norm").alias("norm_a"))
-    nb = norms.select(F.col("vec_id").alias("id_b"), F.col("norm").alias("norm_b"))
+    e = emb.select("vec_id", bucket.alias("bucket"), "embedding", norm.alias("norm"))
+    a = e.select(
+        "bucket",
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("ea"),
+        F.col("norm").alias("na"),
+    )
+    b = e.select(
+        F.col("bucket").alias("bucket_b"),
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("eb"),
+        F.col("norm").alias("nb"),
+    )
+    cos = F.round(
+        F.aggregate(
+            F.zip_with("ea", "eb", lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / (F.col("na") * F.col("nb")),
+        3,
+    )
     return (
-        dots.join(na, "id_a")
-        .join(nb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(F.col("dot") / (F.col("norm_a") * F.col("norm_b")), 3).alias("cos"),
-        )
+        a.join(b, (F.col("bucket") == F.col("bucket_b")) & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b", cos.alias("cos"))
         .where(F.col("cos") >= 0.3)
     )
 
