@@ -813,6 +813,100 @@ FROM documents GROUP BY lang
 """
 
 
+# Characteristic terms per source: top-K by tf-idf. K is a constant, so
+# the per-source cut is a bounded row_number over the VOCABULARY frame.
+TFIDF_K = 5
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    """Per-source characteristic terms (text-analysis surface): standard
+    tf-idf — tf = token count within the source, idf = ln((N+1)/(df+1))
+    with N = corpus document count and df = documents containing the
+    token (document-level df: a source-level df saturates the moment
+    every source shares the common vocabulary, which zeroes the whole
+    ranking on a homogeneous corpus — measured at sf0.1) — top
+    ``TFIDF_K`` per source, ties broken by token so the cut is
+    total-ordered in both engines.
+
+    Scale shape: ONE corpus explode feeds the (source, token) tf hash
+    aggregate (map-side combined — a hot token combines inside each
+    task); df explodes the IN-ROW-deduped token array (array_distinct
+    before the explode, the minhash_sigs device) into a (token) count —
+    no count-distinct two-level aggregate and no second corpus-bytes
+    shuffle: both exchanged frames are vocabulary-sized (sublinear in
+    corpus bytes, Heaps' law). The per-source top-K window also runs on
+    the vocabulary frame; if one source's vocab still dominated a task,
+    the two-phase global_seq device (reports.py) is the drop-in
+    replacement. The score is a single int×ln product rounded to 4dp —
+    no cross-engine sum-order hazard anywhere in this query."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.split("text", " ").alias("ws")
+    )
+    tf = (
+        docs.select("source", F.explode("ws").alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = (
+        docs.select(F.explode(F.array_distinct("ws")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    n_tot = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "token")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "source",
+            "token",
+            "tf",
+            "df",
+            (
+                F.round(
+                    F.col("tf")
+                    * F.log((F.col("n_docs") + 1) / (F.col("df") + 1)),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("tfidf"), "token")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= TFIDF_K)
+        .select("source", "token", "tf", "df", "tfidf", "rk")
+    )
+
+
+SQL_TFIDF_TOP_TERMS = f"""
+WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+tf AS (
+  SELECT source, u.token, count(*)::BIGINT AS tf
+  FROM d, LATERAL (SELECT unnest(ws) AS token) u
+  GROUP BY 1, 2
+),
+df AS (
+  SELECT u.token, count(*)::BIGINT AS df
+  FROM d, LATERAL (SELECT unnest(list_distinct(ws)) AS token) u
+  GROUP BY 1
+),
+n AS (SELECT count(*) AS n_docs FROM d),
+sc AS (
+  SELECT tf.source, tf.token, tf.tf, df.df,
+         round(tf.tf * ln((n.n_docs + 1)::DOUBLE / (df.df + 1)), 4)
+           + 0.0 AS tfidf
+  FROM tf JOIN df USING (token) CROSS JOIN n
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY tfidf DESC, token) AS rk
+  FROM sc
+)
+SELECT source, token, tf, df, tfidf, rk FROM r WHERE rk <= {TFIDF_K}
+"""
+
+
 def q_doc_fingerprint(spark, sf_dir):
     """Winnowing-style document fingerprint: min md5 over the 3-token
     shingle set."""
@@ -1580,6 +1674,7 @@ ANALYTIC_QUERIES: dict[str, tuple] = {
     "embedding_knn": (q_embedding_knn, SQL_EMBEDDING_KNN),
     "embedding_lsh_buckets": (q_embedding_lsh_buckets, SQL_EMBEDDING_LSH_BUCKETS),
     "token_stats_by_lang": (q_token_stats_by_lang, SQL_TOKEN_STATS_BY_LANG),
+    "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "media_decode": (q_media_decode, SQL_MEDIA_DECODE),
     "media_frame_sample": (q_media_frame_sample, SQL_MEDIA_FRAME_SAMPLE),

@@ -138,6 +138,23 @@ def test_exact_substring_dedup_aggregates_partially(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_tfidf_joins_hash_with_single_row_broadcast_only(spark):
+    """tfidf_top_terms: the token-keyed df join must be a hash equi-join
+    (vocabulary frames, never nested-loop over them); the ONE permitted
+    nested-loop is the 1-row corpus-total broadcast (a per-task 1-row
+    concat — the same shape as lm_perplexity's stats cross join), which
+    is why this query gets a dedicated audit rather than the blanket
+    no-BNLJ list."""
+    plan = _plan(spark, "tfidf_top_terms")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    # formatted plans print each node twice (tree line + detail header),
+    # so count distinct node ids, not substring occurrences
+    bnlj_nodes = set(re.findall(r"\((\d+)\) BroadcastNestedLoopJoin", plan))
+    assert len(bnlj_nodes) <= 1, plan[:2000]
+    assert "Window" in plan  # the top-K cut runs on the vocab frame
+
+
 def test_vocab_topk_never_single_partition_sorts(spark):
     """The vocabulary top-K must plan as TakeOrderedAndProject (per-task
     heap + K-row merge), not a global Sort — the difference between a
