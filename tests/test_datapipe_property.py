@@ -126,11 +126,16 @@ def test_datapipe_differential_random(spark, tmp_path_factory, pdf):
     # is total and the split fuzzes cleanly).
     from pdf_parser_spark import lm_filter as lf
 
+    # dsir_select fuzz notes: with n <= 24 docs the K=200 LIMIT keeps
+    # every row (both engines agree on that too), all-en and zero-en
+    # corpora exercise the t_mass degenerate smoothing, and duplicate
+    # texts produce identical log_w broken by the doc_id-keyed Gumbel.
     for name in [
         "lm_perplexity_filter",
         "source_mixture_plan",
         "mixture_realize",
         "ccnet_terciles",
+        "dsir_select",
     ]:
         fn, sql = lf.LM_QUERIES[name]
         if callable(sql):
@@ -146,6 +151,24 @@ def test_datapipe_differential_random(spark, tmp_path_factory, pdf):
         )
         want = want[cols].astype(str).sort_values(cols).reset_index(drop=True)
         pd.testing.assert_frame_equal(got, want, obj=name)
+    # tfidf_top_terms over the same random table: the 8-word shared VOCAB
+    # makes document frequencies collide hard (df near n for most tokens),
+    # so the ranking rides the token tiebreak — exactly the boundary the
+    # total order must hold on.
+    from pdf_parser_spark.analytics.queries import ANALYTIC_QUERIES
+
+    fn, sql = ANALYTIC_QUERIES["tfidf_top_terms"]
+    want = con.execute(sql).fetchdf()
+    cols = sorted(want.columns)
+    got = (
+        fn(spark, str(tmp))
+        .toPandas()[cols]
+        .astype(str)
+        .sort_values(cols)
+        .reset_index(drop=True)
+    )
+    want = want[cols].astype(str).sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, obj="tfidf_top_terms")
 
 
 @st.composite
