@@ -45,6 +45,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # mixture_realize, vocab_coverage, dsir_select) displace nine more
 # doubly-verified queries into the tail.
 _OVERFLOW_TAIL = [
+    "filename_sanitize",
     "media_decode",
     "embedding_ivf_knn",
     "regex_token_extract",

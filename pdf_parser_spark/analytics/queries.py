@@ -1428,6 +1428,183 @@ FROM assign a LEFT JOIN prior p ON p.idb = a.vec_id
 """
 
 
+# Spherical Lloyd's k-means over the embedding corpus — the "train" stage
+# of the IVF/SemDedup train→assign→probe family, which q_embedding_ivf_knn
+# and q_semdedup_keep replace with deterministic seeding so their oracles
+# can replay the assignment. Here the seeding is the INIT (vec_id < K) and
+# the Lloyd iterations themselves are replayed exactly: a fixed, unrolled
+# iteration count with every cross-engine float hazard removed (see
+# q_kmeans_embeddings).
+KMEANS_K = 8
+KMEANS_ITERS = 2
+
+
+def q_kmeans_embeddings(spark, sf_dir):
+    """Distributed spherical k-means (Dhillon & Modha 2001 shape): K=8
+    centroids, deterministic init (the vectors with ``vec_id < K``),
+    KMEANS_ITERS=2 full Lloyd rounds (cosine argmax assignment →
+    element-wise-mean update), output = the final assignment of every
+    vector with its cosine to the post-update centroid.
+
+    Cross-engine exactness (the reason this ITERATIVE algorithm can carry
+    a full value-hash oracle, not a rows-only check): every sum whose
+    float result would depend on accumulation order — vector norms,
+    centroid norms, dot products, and the per-dimension member sums
+    behind each centroid mean — is made order-independent by casting the
+    per-term value into DECIMAL before SUM (exact decimal aggregation in
+    both Spark and DuckDB), casting back to DOUBLE only after the sum.
+    Centroid means round to 6dp and assignment cosines to 3dp before any
+    comparison, so both engines enter every iteration from bit-identical
+    centroids and rank candidates on bit-identical keys; ties break on
+    cid. An emptied cluster carries its previous centroid (left join +
+    coalesce) in both engines.
+
+    Scale shape (10^9+ vectors): per iteration, ONE broadcast equi-join
+    of the exploded vector stream against K·D centroid component rows
+    (map-side partial aggregation into per-(vec,cid) dots — no shuffle of
+    vector payloads) and ONE (cid, dim)-keyed aggregate for the update
+    whose combine is map-side, shuffling only K·D·n_partitions partial
+    sums. Centroid frames are K·D rows end-to-end; the iteration count is
+    a constant. This is exactly how the IVF coarse quantizer and the
+    SemDedup cluster map get trained at 100 TB before those operators'
+    assign/probe stages run."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ex = emb.select("vec_id", F.posexplode("embedding").alias("i", "v")).select(
+        "vec_id", "i", F.col("v").cast("double").alias("v")
+    )
+    # order-independent exact sum: per-term product → DECIMAL(38,18) → SUM
+    dsum = lambda prod: F.sum(prod.cast("decimal(38,18)")).cast("double")
+    vnorm = ex.groupBy("vec_id").agg(
+        F.sqrt(dsum(F.col("v") * F.col("v"))).alias("norm")
+    )
+
+    def assign(cent, with_cos: bool):
+        cnorm = cent.groupBy("cid").agg(
+            F.sqrt(dsum(F.col("cv") * F.col("cv"))).alias("cnorm")
+        )
+        dots = (
+            ex.join(F.broadcast(cent), F.col("i") == F.col("ci"))
+            .groupBy("vec_id", "cid")
+            .agg(dsum(F.col("v") * F.col("cv")).alias("dot"))
+        )
+        scored = (
+            dots.join(vnorm, "vec_id")
+            .join(F.broadcast(cnorm), "cid")
+            .select(
+                "vec_id",
+                "cid",
+                F.round(F.col("dot") / (F.col("norm") * F.col("cnorm")), 3).alias(
+                    "cos"
+                ),
+            )
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), "cid")
+        cols = ["vec_id", F.col("cid").alias("cluster")] + (
+            ["cos"] if with_cos else []
+        )
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where("rn = 1")
+            .select(*cols)
+        )
+
+    cent = ex.where(f"vec_id < {KMEANS_K}").select(
+        F.col("vec_id").alias("cid"), F.col("i").alias("ci"), F.col("v").alias("cv")
+    )
+    for _ in range(KMEANS_ITERS):
+        a = assign(cent, with_cos=False)
+        means = (
+            a.join(ex, "vec_id")
+            .groupBy(F.col("cluster").alias("cid"), F.col("i").alias("ci"))
+            .agg(
+                F.round(
+                    F.sum(F.col("v").cast("decimal(27,9)")).cast("double")
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("mv")
+            )
+        )
+        cent = cent.join(means, ["cid", "ci"], "left").select(
+            "cid", "ci", F.coalesce("mv", "cv").alias("cv")
+        )
+    return assign(cent, with_cos=True).select(
+        "vec_id", F.col("cluster").cast("long").alias("cluster"), "cos"
+    )
+
+
+def _kmeans_sql(iters: int = KMEANS_ITERS) -> str:
+    """The oracle replays the Lloyd rounds as unrolled CTE blocks — one
+    assign block per iteration boundary, one update block per iteration —
+    with the identical DECIMAL-sum / round-6dp / round-3dp discipline.
+    ``iters`` is parametrized so tests can compare iteration depths (e.g.
+    prove assignments move between rounds); the registered oracle uses
+    KMEANS_ITERS."""
+
+    def assign_cte(tag: int, cent: str, centn: str, final: bool) -> str:
+        return f"""
+d{tag} AS (
+  SELECT e.vec_id, c.cid,
+         CAST(sum(CAST(e.v * c.cv AS DECIMAL(38,18))) AS DOUBLE) AS dot
+  FROM ex e JOIN {cent} c ON e.i = c.ci
+  GROUP BY e.vec_id, c.cid
+),
+s{tag} AS (
+  SELECT d.vec_id, d.cid, round(d.dot / (n.norm * cn.cnorm), 3) AS cos
+  FROM d{tag} d JOIN vnorm n ON d.vec_id = n.vec_id
+       JOIN {centn} cn ON d.cid = cn.cid
+),
+a{tag} AS (
+  SELECT vec_id, cid AS cluster{', cos' if final else ''} FROM (
+    SELECT vec_id, cid, cos,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+    FROM s{tag}) WHERE rn = 1
+)"""
+
+    def update_cte(tag: int) -> str:
+        return f"""
+m{tag} AS (
+  SELECT a.cluster AS cid, e.i AS ci,
+         round(CAST(sum(CAST(e.v AS DECIMAL(27,9))) AS DOUBLE) / count(*), 6) AS cv
+  FROM a{tag} a JOIN ex e ON a.vec_id = e.vec_id
+  GROUP BY a.cluster, e.i
+),
+c{tag} AS (
+  SELECT p.cid, p.ci, coalesce(m.cv, p.cv) AS cv
+  FROM c{tag - 1} p LEFT JOIN m{tag} m ON p.cid = m.cid AND p.ci = m.ci
+),
+cn{tag} AS (
+  SELECT cid, sqrt(CAST(sum(CAST(cv * cv AS DECIMAL(38,18))) AS DOUBLE)) AS cnorm
+  FROM c{tag} GROUP BY cid
+)"""
+
+    blocks = []
+    for it in range(1, iters + 1):
+        blocks.append(assign_cte(it, f"c{it - 1}", f"cn{it - 1}", final=False))
+        blocks.append(update_cte(it))
+    last = iters + 1
+    blocks.append(assign_cte(last, f"c{iters}", f"cn{iters}", final=True))
+    return f"""
+WITH ex AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+vnorm AS (
+  SELECT vec_id, sqrt(CAST(sum(CAST(v * v AS DECIMAL(38,18))) AS DOUBLE)) AS norm
+  FROM ex GROUP BY vec_id
+),
+c0 AS (SELECT vec_id AS cid, i AS ci, v AS cv FROM ex WHERE vec_id < {KMEANS_K}),
+cn0 AS (
+  SELECT cid, sqrt(CAST(sum(CAST(cv * cv AS DECIMAL(38,18))) AS DOUBLE)) AS cnorm
+  FROM c0 GROUP BY cid
+),{",".join(blocks)}
+SELECT vec_id, cluster::BIGINT AS cluster, cos FROM a{last}
+"""
+
+
+SQL_KMEANS_EMBEDDINGS = _kmeans_sql()
+
+
 def q_cjk_pages(spark, sf_dir):
     """P8 CJK/multilingual predicate (SURVEY.md §2.2; the reference's
     detect_multilingual_content spec, extractor.py.bak:242-268) over the
@@ -1683,6 +1860,7 @@ ANALYTIC_QUERIES: dict[str, tuple] = {
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "embedding_ivf_knn": (q_embedding_ivf_knn, SQL_EMBEDDING_IVF_KNN),
     "semdedup_keep": (q_semdedup_keep, SQL_SEMDEDUP_KEEP),
+    "kmeans_embeddings": (q_kmeans_embeddings, SQL_KMEANS_EMBEDDINGS),
     # Lazy (callable) oracle: building the SQL materializes the span corpus
     # + expected outputs, which must NOT happen at import time. The driver
     # contract resolves callables with the harness's correctness sf.
