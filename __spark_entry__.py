@@ -42,9 +42,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # (scripts/check_correctness.py → CORRECTNESS_SUPPLEMENT_r03.json).
 # Round-3 additions (lm_perplexity_filter, source_mixture_plan,
 # exact_substring_dedup, semdedup_keep, corpus_funnel, ccnet_terciles,
-# mixture_realize, vocab_coverage, dsir_select) displace nine more
-# doubly-verified queries into the tail.
+# mixture_realize, vocab_coverage, dsir_select, then mojibake_repair,
+# shard_assign, domain_cap) displace twelve more doubly-verified queries
+# into the tail (28 total), every one re-verified in
+# CORRECTNESS_SUPPLEMENT_r03.json.
 _OVERFLOW_TAIL = [
+    "simhash",
+    "ngram_jaccard",
+    "ocr_gate_buckets",
     "filename_sanitize",
     "media_decode",
     "embedding_ivf_knn",

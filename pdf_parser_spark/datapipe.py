@@ -1618,6 +1618,292 @@ LEFT JOIN k USING (doc_id)
 """
 
 
+# --------------------------------------------------------------------------
+# mojibake_repair — ftfy-style encoding repair (double-decoded UTF-8)
+# --------------------------------------------------------------------------
+#
+# Web crawls are full of UTF-8 text that was decoded as cp1252 somewhere in
+# the serving chain ("café" → "cafÃ©", "don’t" → "donâ€™t"); pretraining
+# pipelines run an encoding-repair pass (Dolma/ftfy) before any tokenizer
+# sees the bytes. The repair here is a fixed, ordered substitution chain of
+# the classic UTF-8-read-as-cp1252 digraphs/trigraphs — pure JVM `replace`
+# on the Spark side, `replace` on the oracle side, so both engines execute
+# the identical chain and the check is a true two-engine differential on
+# unicode string handling.
+#
+# The map is DERIVED, not hand-typed: for each clean char we plant in the
+# fixture, bad = clean.encode('utf-8').decode('cp1252'). The fixture
+# generator corrupts docs with exactly that transform, so "repair chain
+# inverts the corruption" is structural, not a transcription that can drift.
+# Longest bad strings are replaced first: every 3-byte-char trigraph starts
+# with 'â' and would otherwise be clipped by a 2-char rule that shares its
+# prefix. Replacing longest-first is sufficient because no GOOD char ('é',
+# '’', …) ever contains 'Ã'/'â'/'Â', so earlier replacements cannot
+# manufacture a later pattern's match.
+
+# Planted chars: every one round-trips utf-8→cp1252 (no byte lands on one
+# of cp1252's five undefined code points 81/8D/8F/90/9D — e.g. U+201D '”'
+# would, so it is deliberately absent).
+MOJI_CHARS = "é è ü ö ñ ç « » ’ “ … —".split(" ")
+MOJI_MAP = [(c.encode("utf-8").decode("cp1252"), c) for c in MOJI_CHARS]
+MOJI_MAP.sort(key=lambda kv: -len(kv[0]))
+
+MOJI_VER = "m1"
+
+# Planted words use ONLY chars from MOJI_CHARS (plus ASCII), so the repair
+# chain provably covers everything the corruptor can mangle.
+_MOJI_WORDS = (
+    "café", "crème", "señor", "über", "français", "garçon", "don’t",
+    "l’été", "«quoted»", "wait… what", "em—dash", "“open",
+)
+
+
+def gen_moji_doc(i: int, seed: int = 23) -> dict:
+    """One fixture doc: ASCII word soup with 0-4 planted unicode words;
+    ~55% of docs are then corrupted by the exact mojibake transform
+    (utf-8 bytes decoded as cp1252). Returns the clean form too so tests
+    can assert the repair inverts the corruption; only (doc_id, text) is
+    written to parquet. Pure function of (seed, i)."""
+    rnd = random.Random((seed << 32) ^ i)
+    words = [rnd.choice(_SOUP) for _ in range(rnd.randint(8, 40))]
+    for _ in range(rnd.randint(0, 4)):
+        words.insert(rnd.randrange(len(words) + 1), rnd.choice(_MOJI_WORDS))
+    clean = " ".join(words)
+    corrupted = rnd.random() < 0.55
+    text = clean.encode("utf-8").decode("cp1252") if corrupted else clean
+    return {"doc_id": f"M{i:06d}", "text": text, "clean": clean}
+
+
+def moji_path(sf: str) -> str:
+    return str(CACHE_DIR / f"mojidocs_{MOJI_VER}_sf{sf}.parquet")
+
+
+def ensure_moji_corpus(sf: str) -> None:
+    CACHE_DIR.mkdir(exist_ok=True)
+    if os.path.exists(moji_path(sf)):
+        return
+    import pandas as pd
+
+    docs = [gen_moji_doc(i) for i in range(text_docs_for_sf(float(sf)))]
+    pd.DataFrame(docs)[["doc_id", "text"]].to_parquet(
+        moji_path(sf), index=False
+    )
+
+
+def q_mojibake_repair(spark, sf_dir):
+    """Encoding repair: apply the ordered MOJI_MAP substitution chain and
+    report per doc the repaired text, whether anything changed, and the
+    character count recovered (each fix shrinks the string, so the length
+    delta counts repaired chars exactly).
+
+    Scale shape (100 TB): embarrassingly parallel scan — a chain of
+    constant-pattern ``replace`` expressions inside one whole-stage
+    codegen span; no shuffle, no regex engine, no Python."""
+    from .driver_contract import sf_of
+
+    sf = sf_of(sf_dir)
+    ensure_moji_corpus(sf)
+    docs = spark.read.parquet(moji_path(sf)).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    fixed = F.col("text")
+    for bad, good in MOJI_MAP:
+        fixed = F.replace(fixed, F.lit(bad), F.lit(good))
+    return docs.select(
+        "doc_id",
+        fixed.alias("repaired"),
+        (fixed != F.col("text")).alias("changed"),
+        (F.length("text") - F.length(fixed)).cast("long").alias("n_fixed_chars"),
+    )
+
+
+def _sql_mojibake_repair(sf: str) -> str:
+    ensure_moji_corpus(sf)
+    fixed = "text"
+    for bad, good in MOJI_MAP:
+        fixed = f"replace({fixed}, '{bad}', '{good}')"
+    return f"""
+SELECT doc_id,
+       {fixed} AS repaired,
+       ({fixed} <> text) AS changed,
+       (length(text) - length({fixed}))::BIGINT AS n_fixed_chars
+FROM read_parquet('{moji_path(sf)}')
+"""
+
+
+# --------------------------------------------------------------------------
+# shard_assign — token-balanced output sharding
+# --------------------------------------------------------------------------
+#
+# The last step of a corpus build writes N output shards that downstream
+# training reads as units, so shards must hold ~equal TOKEN counts, not
+# equal row counts (doc length is heavy-tailed; hash-partitioning rows
+# gives shards that differ by the tail). Assignment: global token prefix
+# sum in doc_id order, shard = prefix div ceil(total/N), clamped to N-1 —
+# deterministic, order-stable, and each shard is a contiguous doc_id range
+# (the manifest is N (first_doc, last_doc) rows).
+
+N_SHARDS = 16
+
+
+def q_shard_assign(spark, sf_dir):
+    """Token-balanced sharding: every document gets the shard its token
+    prefix starts in, with exactly ``N_SHARDS`` shards of ~equal token
+    mass.
+
+    Scale shape (100 TB): the global prefix sum is the same two-phase
+    range-partition device as ``pack_sequences``/``reports.global_seq`` —
+    local cumsums per range chunk plus a ≤#partitions-row broadcast of
+    chunk offsets — so no single task ever sees more than ~n_rows/parts
+    rows, whatever the corpus size. The grand total rides the same tiny
+    offsets frame (sum of chunk totals), not a second corpus pass: one
+    scan, one slim exchange, two broadcasts."""
+    docs = _docs(spark, sf_dir)
+    n_tokens = F.size(F.split("text", " ")).cast("long")
+    parts = max(2, spark.sparkContext.defaultParallelism)
+    d = (
+        docs.select("doc_id", n_tokens.alias("n_tokens"))
+        .repartitionByRange(parts, "doc_id")
+        .withColumn("_chunk", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    w_local = (
+        Window.partitionBy("_chunk")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = d.withColumn(
+        "_loc", F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0))
+    )
+    chunk_tots = d.groupBy("_chunk").agg(F.sum("n_tokens").alias("_tot"))
+    w_off = Window.orderBy("_chunk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    # ~`parts` rows: the unpartitioned window and the grand-total aggregate
+    # both run over a frame the size of the partition count, not the data.
+    offs = chunk_tots.select(
+        "_chunk",
+        F.coalesce(F.sum("_tot").over(w_off), F.lit(0)).alias("_off"),
+        F.sum("_tot").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("_grand"),
+    )
+    pre = local.join(F.broadcast(offs), "_chunk").withColumn(
+        "_target",
+        F.greatest(
+            F.expr(f"(_grand + {N_SHARDS - 1}) div {N_SHARDS}"), F.lit(1)
+        ),
+    )
+    # Integer div end-to-end: prefix and target are BIGINTs in both
+    # engines, so the shard boundary cannot move to float rounding.
+    return pre.select(
+        "doc_id",
+        "n_tokens",
+        F.expr(
+            f"least((_loc + _off) div _target, {N_SHARDS - 1})"
+        ).cast("long").alias("shard_id"),
+    )
+
+
+SQL_SHARD_ASSIGN = f"""
+WITH t AS (
+  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
+  FROM documents
+), g AS (
+  SELECT greatest((SUM(n_tokens) + {N_SHARDS - 1}) // {N_SHARDS}, 1)
+           AS target
+  FROM t
+), p AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+             ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       least(pre // g.target, {N_SHARDS - 1})::BIGINT AS shard_id
+FROM p, g
+"""
+
+
+# --------------------------------------------------------------------------
+# domain_cap — hard per-domain document quota
+# --------------------------------------------------------------------------
+
+DOMAIN_CAP = 10
+
+
+def q_domain_cap(spark, sf_dir):
+    """Per-domain quota (the FineWeb/C4 'max N pages per host' rule): each
+    source keeps at most ``DOMAIN_CAP`` documents, chosen by a stable
+    priority hash of doc_id (a deterministic stand-in for a quality
+    score), and every document carries its within-source rank plus the
+    keep/drop decision.
+
+    Scale shape (100 TB): a plain ``row_number() OVER (PARTITION BY
+    source)`` serializes each domain into one task — and domains are THE
+    canonical skewed key in a web corpus (one host can be 1% of the
+    crawl). The rank is therefore computed hierarchically, the
+    ``pack_sequences`` device: range-partition on (source, pri, doc_id)
+    so a giant source spans many contiguous chunks; row_number locally
+    within each (chunk, source) run; per-(chunk, source) counts give
+    per-source chunk offsets via a window over ~#partitions rows,
+    broadcast back. Identical result to the single window (chunks are
+    range-ordered, so earlier chunks of a source hold strictly smaller
+    (pri, doc_id) keys)."""
+    docs = _docs(spark, sf_dir)
+    pri = (F.col("doc_id") % _HASH_PRE) * _HASH_MULT % _HASH_MOD
+    parts = max(2, spark.sparkContext.defaultParallelism)
+    d = (
+        docs.select("source", "doc_id", pri.alias("pri"))
+        .repartitionByRange(parts, "source", "pri", "doc_id")
+        .withColumn("_chunk", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    w_local = Window.partitionBy("_chunk", "source").orderBy("pri", "doc_id")
+    local = d.withColumn("_rn", F.row_number().over(w_local))
+    w_off = (
+        Window.partitionBy("source")
+        .orderBy("_chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = (
+        d.groupBy("_chunk", "source")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .select(
+            "_chunk",
+            "source",
+            F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off"),
+        )
+    )
+    ranked = local.join(F.broadcast(offs), ["_chunk", "source"]).withColumn(
+        "rnk", (F.col("_rn") + F.col("_off")).cast("long")
+    )
+    return ranked.select(
+        "doc_id",
+        "source",
+        "rnk",
+        (F.col("rnk") <= DOMAIN_CAP).alias("kept"),
+    )
+
+
+SQL_DOMAIN_CAP = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         (doc_id % {_HASH_PRE}) * {_HASH_MULT} % {_HASH_MOD} AS pri
+  FROM documents
+)
+SELECT doc_id, source,
+       row_number() OVER (PARTITION BY source ORDER BY pri, doc_id)::BIGINT
+         AS rnk,
+       (row_number() OVER (PARTITION BY source ORDER BY pri, doc_id)
+          <= {DOMAIN_CAP}) AS kept
+FROM t
+"""
+
+
 DATAPIPE_QUERIES = {
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
@@ -1640,6 +1926,9 @@ DATAPIPE_QUERIES = {
         _sql_exact_substring_dedup,
     ),
     "vocab_coverage": (q_vocab_coverage, _sql_vocab_coverage),
+    "mojibake_repair": (q_mojibake_repair, _sql_mojibake_repair),
+    "shard_assign": (q_shard_assign, SQL_SHARD_ASSIGN),
+    "domain_cap": (q_domain_cap, SQL_DOMAIN_CAP),
 }
 
 # Queries that are a free projection over another benched query: timing them

@@ -52,6 +52,9 @@ def _assert_equal(spark_df, duck_df):
         "decontaminate",
         "exact_substring_dedup",
         "vocab_coverage",
+        "mojibake_repair",
+        "shard_assign",
+        "domain_cap",
     ],
 )
 def test_differential(spark, name):
@@ -459,3 +462,66 @@ def test_vocab_coverage_semantics():
     assert (out["in_vocab"] > 0).all()
     assert out["oov_rate"].nunique() > 10  # coverage varies by doc
     assert (out["in_vocab"] <= out["n_tokens"]).all()
+
+
+def test_mojibake_repair_inverts_corruption(spark):
+    """Structural guarantee: the repair chain exactly inverts the
+    corruptor on every fixture doc — corrupted docs come back
+    char-identical to their clean form (changed=True), untouched docs
+    pass through byte-identical (changed=False, zero chars fixed) — and
+    repair is idempotent (no rule's output feeds another rule)."""
+    out = (
+        dp.q_mojibake_repair(spark, SF_DIR)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    docs = [dp.gen_moji_doc(i) for i in range(dp.text_docs_for_sf(0.001))]
+    n_corrupted = 0
+    for d in docs:
+        row = out.loc[d["doc_id"]]
+        assert row["repaired"] == d["clean"]
+        was_corrupted = d["text"] != d["clean"]
+        assert bool(row["changed"]) == was_corrupted
+        if not was_corrupted:
+            assert row["n_fixed_chars"] == 0
+        n_corrupted += was_corrupted
+    assert n_corrupted > 0 and n_corrupted < len(docs)  # both cases bind
+    # idempotence: repairing repaired text changes nothing
+    for bad, good in dp.MOJI_MAP:
+        for _b2, g2 in dp.MOJI_MAP:
+            assert bad not in g2  # no good char manufactures a bad pattern
+
+
+def test_shard_assign_balance_and_contiguity(spark):
+    """Every one of the N_SHARDS shards exists, shard token mass is
+    within one max-document of the ceil(total/N) target (the prefix-sum
+    guarantee), and shards are contiguous doc_id ranges."""
+    out = dp.q_shard_assign(spark, SF_DIR).toPandas().sort_values("doc_id")
+    assert set(out["shard_id"]) == set(range(dp.N_SHARDS))
+    total = out["n_tokens"].sum()
+    target = -(-int(total) // dp.N_SHARDS)
+    max_doc = out["n_tokens"].max()
+    mass = out.groupby("shard_id")["n_tokens"].sum()
+    # a doc joins the shard its prefix STARTS in, so a shard exceeds the
+    # target by at most one straddling document
+    assert (mass <= target + max_doc).all()
+    assert (out["shard_id"].diff().dropna() >= 0).all()  # monotone in doc_id
+
+
+def test_domain_cap_quota(spark):
+    """Per-source kept counts equal min(population, DOMAIN_CAP); ranks
+    are a within-source permutation of 1..n; decision is deterministic
+    across runs (stable hash, not rand)."""
+    a = dp.q_domain_cap(spark, SF_DIR).toPandas()
+    pops = a.groupby("source").size()
+    kept = a[a["kept"]].groupby("source").size().reindex(pops.index, fill_value=0)
+    for src, n in pops.items():
+        assert kept[src] == min(n, dp.DOMAIN_CAP)
+    for src, grp in a.groupby("source"):
+        assert sorted(grp["rnk"]) == list(range(1, len(grp) + 1))
+    b = dp.q_domain_cap(spark, SF_DIR).toPandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values("doc_id").reset_index(drop=True),
+        b.sort_values("doc_id").reset_index(drop=True),
+    )
