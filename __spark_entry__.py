@@ -21,6 +21,7 @@ from pdf_parser_spark.analytics import ANALYTIC_QUERIES
 from pdf_parser_spark.boilerplate import BOILERPLATE_QUERIES
 from pdf_parser_spark.datapipe import DATAPIPE_QUERIES
 from pdf_parser_spark.lm_filter import LM_QUERIES
+from pdf_parser_spark.urlops import URL_QUERIES
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -43,10 +44,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # Round-3 additions (lm_perplexity_filter, source_mixture_plan,
 # exact_substring_dedup, semdedup_keep, corpus_funnel, ccnet_terciles,
 # mixture_realize, vocab_coverage, dsir_select, then mojibake_repair,
-# shard_assign, domain_cap) displace twelve more doubly-verified queries
-# into the tail (28 total), every one re-verified in
+# shard_assign, domain_cap, then the urlops suite (url_canonicalize,
+# url_dedup, url_host_gate)) displace fifteen more doubly-verified
+# queries into the tail (31 total), every one re-verified in
 # CORRECTNESS_SUPPLEMENT_r03.json.
 _OVERFLOW_TAIL = [
+    "quality_score",
+    "heat_correction",
+    "minhash_band_candidates",
     "simhash",
     "ngram_jaccard",
     "ocr_gate_buckets",
@@ -85,6 +90,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out[name] = fn
     for name, (fn, _sql) in LM_QUERIES.items():
         out[name] = fn
+    for name, (fn, _sql) in URL_QUERIES.items():
+        out[name] = fn
     for name, (fn, _sql) in BOILERPLATE_QUERIES.items():
         out[name] = fn
     for name, (fn, _sql) in ANALYTIC_QUERIES.items():
@@ -109,5 +116,7 @@ def oracle_sql() -> dict[str, str]:
     for name, (_fn, sql) in DATAPIPE_QUERIES.items():
         out[name] = sql if isinstance(sql, str) else sql(correctness_sf)
     for name, (_fn, sql) in LM_QUERIES.items():
+        out[name] = sql if isinstance(sql, str) else sql(correctness_sf)
+    for name, (_fn, sql) in URL_QUERIES.items():
         out[name] = sql if isinstance(sql, str) else sql(correctness_sf)
     return out

@@ -128,6 +128,11 @@ def main() -> None:
     if wanted is None or any(q in wanted for q in DATAPIPE_QUERIES):
         ensure_text_corpus(sf_of(sf_dir))
 
+    from pdf_parser_spark.urlops import URL_QUERIES, ensure_url_corpus
+
+    if wanted is None or any(q in wanted for q in URL_QUERIES):
+        ensure_url_corpus(sf_of(sf_dir))
+
     from pdf_parser_spark.datapipe import BENCH_DERIVED
 
     from pdf_parser_spark.lm_filter import LM_QUERIES
@@ -136,6 +141,7 @@ def main() -> None:
     all_queries.update(BOILERPLATE_QUERIES)
     all_queries.update(DATAPIPE_QUERIES)
     all_queries.update(LM_QUERIES)
+    all_queries.update(URL_QUERIES)
     for name, (fn, _sql) in all_queries.items():
         if wanted is not None and name not in wanted:
             continue
