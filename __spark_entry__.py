@@ -21,6 +21,7 @@ from pdf_parser_spark.analytics import ANALYTIC_QUERIES
 from pdf_parser_spark.boilerplate import BOILERPLATE_QUERIES
 from pdf_parser_spark.datapipe import DATAPIPE_QUERIES
 from pdf_parser_spark.lm_filter import LM_QUERIES
+from pdf_parser_spark.snapshot import SNAPSHOT_QUERIES
 from pdf_parser_spark.urlops import URL_QUERIES
 
 
@@ -49,6 +50,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries into the tail (31 total), every one re-verified in
 # CORRECTNESS_SUPPLEMENT_r03.json.
 _OVERFLOW_TAIL = [
+    "exact_dedup_md5",
+    "vendor_detection",
     "quality_score",
     "heat_correction",
     "minhash_band_candidates",
@@ -92,6 +95,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out[name] = fn
     for name, (fn, _sql) in URL_QUERIES.items():
         out[name] = fn
+    for name, (fn, _sql) in SNAPSHOT_QUERIES.items():
+        out[name] = fn
     for name, (fn, _sql) in BOILERPLATE_QUERIES.items():
         out[name] = fn
     for name, (fn, _sql) in ANALYTIC_QUERIES.items():
@@ -118,5 +123,7 @@ def oracle_sql() -> dict[str, str]:
     for name, (_fn, sql) in LM_QUERIES.items():
         out[name] = sql if isinstance(sql, str) else sql(correctness_sf)
     for name, (_fn, sql) in URL_QUERIES.items():
+        out[name] = sql if isinstance(sql, str) else sql(correctness_sf)
+    for name, (_fn, sql) in SNAPSHOT_QUERIES.items():
         out[name] = sql if isinstance(sql, str) else sql(correctness_sf)
     return out

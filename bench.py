@@ -133,6 +133,11 @@ def main() -> None:
     if wanted is None or any(q in wanted for q in URL_QUERIES):
         ensure_url_corpus(sf_of(sf_dir))
 
+    from pdf_parser_spark.snapshot import SNAPSHOT_QUERIES, ensure_snap_corpus
+
+    if wanted is None or any(q in wanted for q in SNAPSHOT_QUERIES):
+        ensure_snap_corpus(sf_of(sf_dir))
+
     from pdf_parser_spark.datapipe import BENCH_DERIVED
 
     from pdf_parser_spark.lm_filter import LM_QUERIES
@@ -142,6 +147,7 @@ def main() -> None:
     all_queries.update(DATAPIPE_QUERIES)
     all_queries.update(LM_QUERIES)
     all_queries.update(URL_QUERIES)
+    all_queries.update(SNAPSHOT_QUERIES)
     for name, (fn, _sql) in all_queries.items():
         if wanted is not None and name not in wanted:
             continue

@@ -1,0 +1,313 @@
+"""Cross-snapshot corpus operators: Bloom-filter dedup + CDC diff.
+
+A crawl corpus is rebuilt snapshot over snapshot (Common Crawl ships
+monthly), and two cross-snapshot operations dominate the incremental
+build:
+
+  * ``bloom_dedup``   — membership of each NEW document's content hash
+    in the PRIOR snapshot, tested against a broadcast Bloom filter.
+    This is the 100 TB replacement for the naive anti-join: the prior
+    snapshot is 10^12 rows, so shuffling new-vs-prior on a 32-byte hash
+    moves the whole corpus; the Bloom bitset for the same decision is
+    M_BITS/8 bytes TOTAL (here 1 KiB; ~180 GiB even for 10^12 keys at
+    1% FP — sharded by key range in practice) and ships to every task.
+    Bloom has no false negatives, so negatives skip the exact join
+    entirely; only the positives (true dups + the measured FP band) hit
+    the exact md5 semi-join confirm, shrinking its left side by the
+    non-dup fraction. The query emits per new doc: the bloom verdict,
+    the exact verdict, and the false-positive flag — the FP rate is
+    MEASURED, not assumed (no silent wrong-dedup at scale).
+  * ``snapshot_diff`` — CDC between the two snapshots by doc_id:
+    added / deleted / modified / unchanged, via one full-outer equi-join
+    of the slim (doc_id, md5) frames — content compare is 32 bytes per
+    row however large the documents are.
+
+Reference analog: the upload path's "already uploaded?" admission check
+(reference ``extractor/views/core.py:630-644``) — the same
+have-we-seen-this-content decision, re-expressed for snapshot-scale
+inputs where the seen-set no longer fits a database unique index.
+
+Cross-engine portability: the Bloom positions are BIGINT arithmetic on
+a 60-bit integer parsed from the md5 hex prefix — Spark
+``conv(substring(md5(x),1,15),16,10)`` == DuckDB
+``('0x' || substr(md5(x),1,15))::BIGINT`` (verified digit-for-digit),
+and both engines share %, integer div, <<, &, and bit_or aggregate
+semantics on BIGINT, so the oracle rebuilds the identical filter
+independently.
+
+Fixture: one parquet with (snap, doc_id, text): prior ids 0..N-1, new
+ids OFF..OFF+N-1 (60% id overlap); an overlapping doc keeps its prior
+text with p=0.7 (→ a true cross-snapshot content dup) or is rewritten
+(→ modified). Both operators' every branch binds: dup/non-dup,
+added/deleted/modified/unchanged — and with M_BITS=8192, k=3 the
+sf0.01 fixture carries a real false-positive band (~5% of non-dups).
+"""
+
+from __future__ import annotations
+
+import os
+import random
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .datapipe import CACHE_DIR, _SOUP
+
+SNAP_VER = "s1"
+
+M_BITS = 8192  # Bloom width: 256 x 32-bit words = 1 KiB broadcast
+K_PROBES = 3
+WORD_BITS = 32  # masks stay far from the BIGINT sign bit in both engines
+
+
+def snap_docs_for_sf(sf: float) -> int:
+    """Docs per snapshot (two snapshots are written)."""
+    return max(150, int(round(sf * 30000)))
+
+
+def _soup(rnd: random.Random, i: int, rev: int) -> str:
+    words = [rnd.choice(_SOUP) for _ in range(rnd.randint(10, 40))]
+    # make every text unique per (i, rev) so dup structure is exactly
+    # the overlap the generator plants, never an accidental collision
+    words.append(f"uid{i}r{rev}")
+    return " ".join(words)
+
+
+def gen_snapshots(n: int, seed: int = 41) -> list[dict]:
+    """Two snapshots with 60% doc_id overlap; an overlapping doc is
+    unchanged with p=0.7 else rewritten. Pure function of (seed, n)."""
+    off = int(0.4 * n)
+    rows = []
+    for i in range(n):
+        rnd = random.Random((seed << 32) ^ i)
+        rows.append(
+            {"snap": "prior", "doc_id": i, "text": _soup(rnd, i, 0)}
+        )
+    for i in range(off, off + n):
+        rnd = random.Random((seed << 32) ^ i)
+        if i < n and rnd.random() < 0.7:  # overlap, unchanged
+            text = _soup(random.Random((seed << 32) ^ i), i, 0)
+        elif i < n:  # overlap, modified
+            text = _soup(rnd, i, 1)
+        else:  # new-only
+            text = _soup(rnd, i, 0)
+        rows.append({"snap": "new", "doc_id": i, "text": text})
+    return rows
+
+
+def snap_path(sf: str) -> str:
+    return str(CACHE_DIR / f"snapdocs_{SNAP_VER}_sf{sf}.parquet")
+
+
+def ensure_snap_corpus(sf: str) -> None:
+    CACHE_DIR.mkdir(exist_ok=True)
+    if os.path.exists(snap_path(sf)):
+        return
+    import pandas as pd
+
+    rows = gen_snapshots(snap_docs_for_sf(float(sf)))
+    pd.DataFrame(rows).to_parquet(snap_path(sf), index=False)
+
+
+def _snaps(spark, sf_dir: str) -> DataFrame:
+    from .driver_contract import sf_of
+
+    sf = sf_of(sf_dir)
+    ensure_snap_corpus(sf)
+    return spark.read.parquet(snap_path(sf)).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
+# 60-bit content hash, identical in both engines (see module docstring).
+def _h60(col):
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+_SQL_H60 = "('0x' || substr(md5(text), 1, 15))::BIGINT"
+
+
+def q_bloom_dedup(spark, sf_dir):
+    """Bloom membership of each new doc's content in the prior snapshot,
+    then exact confirm on the positives only.
+
+    Build: prior texts → K_PROBES double-hashed positions
+    (Kirsch-Mitzenmacher: pos_j = (h1 + j*h2) mod M) → per-word bit_or
+    over ≤M_BITS/WORD_BITS rows. Probe: the new side joins its probe
+    positions against the BROADCAST word frame; a doc is bloom-positive
+    iff all K probed bits are set. Exact md5 semi-join runs over the
+    positives only (bloom has no false negatives) — at scale that join's
+    left side is dup_rate + ~5% of the corpus, not 100% of it."""
+    docs = _snaps(spark, sf_dir)
+    h = _h60(F.col("text"))
+    js = F.array(*[F.lit(j) for j in range(K_PROBES)])
+    m1 = M_BITS - 1
+
+    def probes(df):
+        # h60 div M_BITS must be BIGINT division: routing it through a
+        # double (h / 8192) would round 60-bit hashes at the 53-bit
+        # mantissa and silently change probe positions vs the oracle.
+        hashed = df.select(
+            "doc_id",
+            F.md5("text").alias("h32"),
+            h.alias("h60"),
+        ).select(
+            "doc_id",
+            "h32",
+            (F.col("h60") % M_BITS).alias("h1"),
+            F.expr(f"1 + ((h60 div {M_BITS}) % {m1})").alias("h2"),
+        )
+        return hashed.select(
+            "doc_id",
+            "h32",
+            F.explode(js).alias("j"),
+            "h1",
+            "h2",
+        ).select(
+            "doc_id",
+            "h32",
+            ((F.col("h1") + F.col("j") * F.col("h2")) % M_BITS).alias("pos"),
+        ).select(
+            "doc_id",
+            "h32",
+            F.expr(f"pos div {WORD_BITS}").alias("word"),
+            # SQL shiftleft: the python F.shiftleft only takes a literal
+            # bit count, not a per-row column
+            F.expr(
+                f"shiftleft(cast(1 as bigint), "
+                f"cast(pos % {WORD_BITS} as int))"
+            ).alias("mask"),
+        )
+
+    # Each snapshot is scanned ONCE: the slim probe frames are
+    # localCheckpointed (doc_id + 32-byte hash + positions — no text),
+    # so the bloom build, the distinct-keys set, and the verdict all
+    # reuse one materialization instead of re-deriving the corpus scan
+    # per consumer (the naive lineage computes the verdict subtree twice
+    # and the bloom build three times).
+    prior_probes = probes(docs.filter(F.col("snap") == "prior")).localCheckpoint(
+        eager=False
+    )
+    new_probes = probes(docs.filter(F.col("snap") == "new")).localCheckpoint(
+        eager=False
+    )
+    bloom = prior_probes.groupBy("word").agg(
+        F.expr("bit_or(mask)").alias("bits")
+    )
+    probed = (
+        new_probes
+        .join(F.broadcast(bloom), "word", "left")
+        .withColumn(
+            "hit",
+            (F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("mask"))
+             != 0)
+            .cast("int"),
+        )
+    )
+    verdict = probed.groupBy("doc_id", "h32").agg(
+        (F.sum("hit") == K_PROBES).alias("maybe_dup")
+    ).localCheckpoint(eager=False)
+    prior_keys = prior_probes.select("h32").distinct().withColumn(
+        "known", F.lit(True)
+    )
+    # exact confirm over the bloom-POSITIVES only (no false negatives);
+    # negatives pass through without touching the join
+    pos = (
+        verdict.filter("maybe_dup")
+        .join(prior_keys, "h32", "left")
+        .select(
+            "doc_id",
+            "maybe_dup",
+            F.coalesce("known", F.lit(False)).alias("is_dup"),
+            (~F.coalesce("known", F.lit(False))).alias("false_pos"),
+        )
+    )
+    neg = verdict.filter(~F.col("maybe_dup")).select(
+        "doc_id",
+        "maybe_dup",
+        F.lit(False).alias("is_dup"),
+        F.lit(False).alias("false_pos"),
+    )
+    return pos.unionByName(neg)
+
+
+def _sql_bloom_dedup(sf: str) -> str:
+    ensure_snap_corpus(sf)
+    m1 = M_BITS - 1
+    return f"""
+WITH d AS (
+  SELECT snap, doc_id, md5(text) AS h32,
+         {_SQL_H60} % {M_BITS} AS h1,
+         1 + (({_SQL_H60} // {M_BITS}) % {m1}) AS h2
+  FROM read_parquet('{snap_path(sf)}')
+), probes AS (
+  SELECT snap, doc_id, h32,
+         (h1 + j * h2) % {M_BITS} AS pos
+  FROM d, (SELECT unnest(range({K_PROBES})) AS j)
+), pw AS (
+  SELECT snap, doc_id, h32,
+         pos // {WORD_BITS} AS word,
+         (1::BIGINT << (pos % {WORD_BITS})) AS mask
+  FROM probes
+), bloom AS (
+  SELECT word, bit_or(mask) AS bits FROM pw WHERE snap = 'prior'
+  GROUP BY word
+), verdict AS (
+  SELECT p.doc_id, p.h32,
+         (count(*) FILTER (WHERE (COALESCE(b.bits, 0) & p.mask) <> 0)
+            = {K_PROBES}) AS maybe_dup
+  FROM pw p LEFT JOIN bloom b USING (word)
+  WHERE p.snap = 'new'
+  GROUP BY p.doc_id, p.h32
+)
+SELECT v.doc_id, v.maybe_dup,
+       (v.maybe_dup AND v.h32 IN
+          (SELECT h32 FROM d WHERE snap = 'prior')) AS is_dup,
+       (v.maybe_dup AND v.h32 NOT IN
+          (SELECT h32 FROM d WHERE snap = 'prior')) AS false_pos
+FROM verdict v
+"""
+
+
+def q_snapshot_diff(spark, sf_dir):
+    """CDC between snapshots: per doc_id, added / deleted / modified /
+    unchanged. One full-outer join of the slim (doc_id, md5) frames —
+    the exchanged row is (id + 32-byte hash) however large the doc."""
+    docs = _snaps(spark, sf_dir)
+    slim = docs.select("snap", "doc_id", F.md5("text").alias("h"))
+    prior = slim.filter(F.col("snap") == "prior").select(
+        "doc_id", F.col("h").alias("h_prior")
+    )
+    new = slim.filter(F.col("snap") == "new").select(
+        "doc_id", F.col("h").alias("h_new")
+    )
+    j = prior.join(new, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("h_prior").isNull(), F.lit("added"))
+        .when(F.col("h_new").isNull(), F.lit("deleted"))
+        .when(F.col("h_prior") == F.col("h_new"), F.lit("unchanged"))
+        .otherwise(F.lit("modified"))
+    )
+    return j.select("doc_id", status.alias("status"))
+
+
+def _sql_snapshot_diff(sf: str) -> str:
+    ensure_snap_corpus(sf)
+    return f"""
+WITH s AS (SELECT snap, doc_id, md5(text) AS h
+           FROM read_parquet('{snap_path(sf)}')),
+p AS (SELECT doc_id, h AS h_prior FROM s WHERE snap = 'prior'),
+n AS (SELECT doc_id, h AS h_new FROM s WHERE snap = 'new')
+SELECT COALESCE(p.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN p.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'deleted'
+            WHEN p.h_prior = n.h_new THEN 'unchanged'
+            ELSE 'modified' END AS status
+FROM p FULL OUTER JOIN n ON p.doc_id = n.doc_id
+"""
+
+
+SNAPSHOT_QUERIES = {
+    "bloom_dedup": (q_bloom_dedup, _sql_bloom_dedup),
+    "snapshot_diff": (q_snapshot_diff, _sql_snapshot_diff),
+}

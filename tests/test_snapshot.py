@@ -1,0 +1,76 @@
+"""Cross-snapshot ops (snapshot.py): Spark-vs-DuckDB differential plus
+structural Bloom/CDC semantics on the deterministic two-snapshot fixture."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+import pdf_parser_spark.snapshot as sn
+from pdf_parser_spark.driver_contract import sf_of
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _assert_equal(spark_df, duck_df):
+    a = spark_df.toPandas()
+    b = duck_df
+    cols = sorted(a.columns)
+    assert cols == sorted(b.columns)
+    a = a[cols].astype(str).sort_values(cols).reset_index(drop=True)
+    b = b[cols].astype(str).sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+@pytest.mark.parametrize("name", ["bloom_dedup", "snapshot_diff"])
+def test_differential(spark, name):
+    fn, sql = sn.SNAPSHOT_QUERIES[name]
+    _assert_equal(fn(spark, SF_DIR), duckdb.sql(sql(sf_of(SF_DIR))).df())
+
+
+def test_bloom_no_false_negatives_and_exactness(spark):
+    """Bloom invariants on the fixture: every true dup is bloom-positive
+    (no false negatives, the property the at-scale prefilter relies on);
+    is_dup equals exact ground-truth membership computed independently
+    in pandas; false_pos = maybe_dup minus is_dup."""
+    out = sn.q_bloom_dedup(spark, SF_DIR).toPandas().set_index("doc_id")
+    rows = sn.gen_snapshots(sn.snap_docs_for_sf(0.001))
+    prior_texts = {r["text"] for r in rows if r["snap"] == "prior"}
+    new_rows = [r for r in rows if r["snap"] == "new"]
+    assert len(out) == len(new_rows)
+    n_dup = 0
+    for r in new_rows:
+        truth = r["text"] in prior_texts
+        got = out.loc[r["doc_id"]]
+        assert bool(got["is_dup"]) == truth
+        if truth:
+            assert bool(got["maybe_dup"])  # no false negatives
+        assert bool(got["false_pos"]) == (
+            bool(got["maybe_dup"]) and not truth
+        )
+        n_dup += truth
+    assert 0 < n_dup < len(new_rows)  # both branches bind
+
+
+def test_snapshot_diff_statuses_bind(spark):
+    """All four CDC statuses appear, counts match the generator's
+    overlap construction, and statuses are mutually exact."""
+    out = sn.q_snapshot_diff(spark, SF_DIR).toPandas()
+    rows = sn.gen_snapshots(sn.snap_docs_for_sf(0.001))
+    prior = {r["doc_id"]: r["text"] for r in rows if r["snap"] == "prior"}
+    new = {r["doc_id"]: r["text"] for r in rows if r["snap"] == "new"}
+    want = {}
+    for d in set(prior) | set(new):
+        if d not in prior:
+            want[d] = "added"
+        elif d not in new:
+            want[d] = "deleted"
+        elif prior[d] == new[d]:
+            want[d] = "unchanged"
+        else:
+            want[d] = "modified"
+    got = dict(zip(out["doc_id"], out["status"]))
+    assert got == want
+    counts = out["status"].value_counts()
+    assert set(counts.index) == {"added", "deleted", "modified", "unchanged"}
