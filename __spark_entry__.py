@@ -50,6 +50,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries into the tail (31 total), every one re-verified in
 # CORRECTNESS_SUPPLEMENT_r03.json.
 _OVERFLOW_TAIL = [
+    "report_first_value",
+    "report_page_summary",
     "exact_dedup_md5",
     "vendor_detection",
     "quality_score",

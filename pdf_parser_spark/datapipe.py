@@ -1904,6 +1904,104 @@ FROM t
 """
 
 
+# --------------------------------------------------------------------------
+# line_dedup_in_doc — within-document repeated-line collapse
+# --------------------------------------------------------------------------
+
+
+def q_line_dedup_in_doc(spark, sf_dir):
+    """C4-style WITHIN-document line dedup: keep each line's first
+    occurrence in order (nav menus / footers repeat inside a page), emit
+    the rebuilt text plus kept/removed counts.
+
+    Scale shape (100 TB): pure in-row higher-order functions on the
+    line array — zero shuffle, zero UDF; the first-occurrence test is
+    array_position == own index, O(lines²) per doc on arrays of ~10²
+    lines (bounded by page size, not corpus size). Corpus-wide paragraph
+    dedup is the separate ``paragraph_dedup``; this is the per-doc pass
+    that runs before it."""
+    docs = _read_text(spark, sf_dir)
+    s1 = docs.select("doc_id", F.split("text", "\n").alias("lines"))
+    kept = F.filter(
+        "lines",
+        lambda l, i: F.array_position(F.col("lines"), l) == i + 1,
+    )
+    s2 = s1.select("doc_id", F.size("lines").alias("n_lines"), kept.alias("kept"))
+    return s2.select(
+        "doc_id",
+        "n_lines",
+        F.size("kept").cast("long").alias("n_kept"),
+        (F.col("n_lines") - F.size("kept")).cast("long").alias("n_removed"),
+        F.array_join("kept", "\n").alias("cleaned"),
+    )
+
+
+def _sql_line_dedup_in_doc(sf: str) -> str:
+    ensure_text_corpus(sf)
+    return f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, chr(10)) AS lines
+  FROM read_parquet('{corpus_path(sf)}')
+), k AS (
+  SELECT doc_id, lines,
+         list_transform(
+           list_filter(range(1, len(lines) + 1),
+                       i -> list_position(lines, lines[i]) = i),
+           i -> lines[i]) AS kept
+  FROM d
+)
+SELECT doc_id,
+       len(lines) AS n_lines,
+       len(kept)::BIGINT AS n_kept,
+       (len(lines) - len(kept))::BIGINT AS n_removed,
+       array_to_string(kept, chr(10)) AS cleaned
+FROM k
+"""
+
+
+# --------------------------------------------------------------------------
+# corpus_length_stats — per-source token-length histogram
+# --------------------------------------------------------------------------
+
+LEN_BUCKET = 16  # tokens per histogram bucket
+
+
+def q_corpus_length_stats(spark, sf_dir):
+    """The corpus report every build publishes: per (source, length
+    bucket), document count, token mass, and min/max doc length. Buckets
+    are integer division (n_tokens div 16) — exact in both engines, no
+    float log binning to drift.
+
+    Scale shape (100 TB): one scan, one shuffle of (source, bucket)
+    pre-aggregated map-side — the exchanged frame is the histogram, not
+    the corpus."""
+    docs = _docs(spark, sf_dir)
+    n_tokens = F.size(F.split("text", " ")).cast("long")
+    return (
+        docs.select("source", n_tokens.alias("n_tokens"))
+        .withColumn("bucket", F.expr(f"n_tokens div {LEN_BUCKET}"))
+        .groupBy("source", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("tot_tokens"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+    )
+
+
+SQL_CORPUS_LENGTH_STATS = f"""
+SELECT source,
+       len(string_split(text, ' '))::BIGINT // {LEN_BUCKET} AS bucket,
+       count(*)::BIGINT AS n_docs,
+       SUM(len(string_split(text, ' ')))::BIGINT AS tot_tokens,
+       MIN(len(string_split(text, ' ')))::BIGINT AS min_tokens,
+       MAX(len(string_split(text, ' ')))::BIGINT AS max_tokens
+FROM documents
+GROUP BY source, bucket
+"""
+
+
 DATAPIPE_QUERIES = {
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
@@ -1929,6 +2027,8 @@ DATAPIPE_QUERIES = {
     "mojibake_repair": (q_mojibake_repair, _sql_mojibake_repair),
     "shard_assign": (q_shard_assign, SQL_SHARD_ASSIGN),
     "domain_cap": (q_domain_cap, SQL_DOMAIN_CAP),
+    "line_dedup_in_doc": (q_line_dedup_in_doc, _sql_line_dedup_in_doc),
+    "corpus_length_stats": (q_corpus_length_stats, SQL_CORPUS_LENGTH_STATS),
 }
 
 # Queries that are a free projection over another benched query: timing them

@@ -55,6 +55,8 @@ def _assert_equal(spark_df, duck_df):
         "mojibake_repair",
         "shard_assign",
         "domain_cap",
+        "line_dedup_in_doc",
+        "corpus_length_stats",
     ],
 )
 def test_differential(spark, name):
@@ -507,6 +509,44 @@ def test_shard_assign_balance_and_contiguity(spark):
     # target by at most one straddling document
     assert (mass <= target + max_doc).all()
     assert (out["shard_id"].diff().dropna() >= 0).all()  # monotone in doc_id
+
+
+def test_line_dedup_in_doc_semantics(spark):
+    """First occurrence of each line survives in order; rebuilt text has
+    no within-doc duplicate lines; untouched docs pass through
+    byte-identical. Both branches bind on the fixture."""
+    out = dp.q_line_dedup_in_doc(spark, SF_DIR).toPandas().set_index("doc_id")
+    n_docs_with_dups = 0
+    for i in range(dp.text_docs_for_sf(0.001)):
+        d = dp.gen_text_doc(i)
+        lines = d["text"].split("\n")
+        want = list(dict.fromkeys(lines))  # order-preserving first-wins
+        row = out.loc[d["doc_id"]]
+        assert row["cleaned"].split("\n") == want
+        assert row["n_kept"] == len(want)
+        assert row["n_removed"] == len(lines) - len(want)
+        if len(want) < len(lines):
+            n_docs_with_dups += 1
+        else:
+            assert row["cleaned"] == d["text"]
+    assert 0 < n_docs_with_dups < dp.text_docs_for_sf(0.001)
+
+
+def test_corpus_length_stats_totals(spark):
+    """Histogram masses reconcile with the raw corpus: per-source doc and
+    token totals match, bucket bounds hold (bucket*16 <= len < 16*(b+1))."""
+    out = dp.q_corpus_length_stats(spark, SF_DIR).toPandas()
+    raw = _duck(
+        "SELECT source, len(string_split(text, ' '))::BIGINT AS n FROM documents"
+    )
+    got_docs = out.groupby("source")["n_docs"].sum()
+    want_docs = raw.groupby("source").size()
+    assert got_docs.sort_index().equals(want_docs.sort_index())
+    got_toks = out.groupby("source")["tot_tokens"].sum()
+    want_toks = raw.groupby("source")["n"].sum()
+    assert got_toks.sort_index().equals(want_toks.sort_index())
+    assert ((out["min_tokens"] >= out["bucket"] * dp.LEN_BUCKET)
+            & (out["max_tokens"] < (out["bucket"] + 1) * dp.LEN_BUCKET)).all()
 
 
 def test_domain_cap_quota(spark):
