@@ -148,6 +148,10 @@ def main() -> None:
     all_queries.update(LM_QUERIES)
     all_queries.update(URL_QUERIES)
     all_queries.update(SNAPSHOT_QUERIES)
+
+    from pdf_parser_spark.sketches import SKETCH_QUERIES
+
+    all_queries.update(SKETCH_QUERIES)
     for name, (fn, _sql) in all_queries.items():
         if wanted is not None and name not in wanted:
             continue

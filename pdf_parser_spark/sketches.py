@@ -1,0 +1,219 @@
+"""Mergeable streaming sketches: Count-Min (heavy hitters) + HyperLogLog.
+
+At 100 TB you cannot afford exact global answers to "how often does each
+token occur" (the full frequency table is vocabulary-sized — fine) or
+"how many distinct X per group" when X is high-cardinality (user ids,
+urls, shingles — the distinct set IS the data). The standard answer is
+fixed-size mergeable sketches: every partition folds its rows into a
+few KB of counters, partials merge associatively (map-side combine does
+it for free in Spark), and the driver-side artifact is O(sketch), not
+O(data):
+
+  * ``cms_heavy_hitters`` — a Count-Min sketch (Cormode & Muthukrishnan
+    2005): D=2 hash rows × W=16 counters; every token occurrence
+    increments one counter per row (here: built with ONE groupBy over
+    (row, position) — the sketch is the aggregate); a token's estimate
+    is the min over its D counters. CMS never underestimates — the
+    query emits per token its exact count, its CMS estimate, and the
+    measured overestimate, so the error is observed, not assumed. W=16
+    is deliberately smaller than the 31-token fixture vocabulary so
+    collisions (and the one-sided error) actually bind in tests.
+  * ``hll_distinct`` — a HyperLogLog register set (Flajolet et al.
+    2007) per source: m=16 registers, register = h mod m, register
+    value = max over items of the lowest-set-bit weight of h div m (the
+    0^k1 LSB-rank variant; rank capped at 30). The query emits per
+    source the exact distinct count alongside the integer-exact HLL
+    numerator sum(2^30 / 2^rank) — everything BIGINT, so both engines
+    agree bit-for-bit; the float estimate alpha*m^2*2^30/numerator is
+    computed in the TEST (one double op chain), keeping all float
+    rounding out of the cross-engine hash.
+
+Cross-engine portability: the item hash is the 60-bit md5-prefix BIGINT
+(see snapshot.py); lowest-set-bit is the two's-complement identity
+``h & -h`` (a power of two, exact BIGINT in Spark and DuckDB); division
+and modulo are integer end-to-end. The DuckDB oracle rebuilds both
+sketches independently from the raw tokens.
+
+Scale shape (100 TB): both sketches are one explode + one hash
+aggregate whose result is O(D*W) / O(m * n_groups) rows — partials
+combine map-side, nothing corpus-sized is ever exchanged; the
+heavy-hitter probe joins the vocabulary-sized distinct-token frame
+against a 32-row broadcast sketch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+CMS_W = 16  # counters per row (< fixture vocab of 31 -> collisions bind)
+CMS_D = 2  # hash rows
+HLL_M = 16  # registers
+HLL_RANK_CAP = 30  # keeps 2^30 div 2^rank an exact BIGINT
+
+
+def _docs(spark, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _h60(col):
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+_SQL_H60_TOK = "('0x' || substr(md5(token), 1, 15))::BIGINT"
+
+
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Count-Min sketch over token occurrences + per-token estimates.
+
+    Build: one explode -> (row d, position) groupBy count (the sketch:
+    D*W=32 counters). Probe: the distinct-token frame joins the
+    broadcast sketch on its D positions; estimate = min over rows.
+    Emits (token, exact_cnt, est_cnt, overest >= 0)."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        F.explode(F.split("text", " ")).alias("token")
+    ).select("token", _h60(F.col("token")).alias("h60"))
+    keyed = toks.select(
+        "token",
+        (F.col("h60") % CMS_W).alias("h1"),
+        F.expr(f"1 + ((h60 div {CMS_W}) % {CMS_W - 1})").alias("h2"),
+    ).select(
+        "token",
+        F.explode(F.array(*[F.lit(d) for d in range(CMS_D)])).alias("d"),
+        "h1",
+        "h2",
+    ).select(
+        "token",
+        "d",
+        ((F.col("h1") + F.col("d") * F.col("h2")) % CMS_W).alias("pos"),
+    )
+    sketch = keyed.groupBy("d", "pos").agg(F.count(F.lit(1)).alias("cnt"))
+    exact = keyed.filter(F.col("d") == 0).groupBy("token").agg(
+        F.count(F.lit(1)).alias("exact_cnt")
+    )
+    probes = keyed.distinct()
+    est = (
+        probes.join(F.broadcast(sketch), ["d", "pos"])
+        .groupBy("token")
+        .agg(F.min("cnt").alias("est_cnt"))
+    )
+    return exact.join(est, "token").select(
+        "token",
+        "exact_cnt",
+        "est_cnt",
+        (F.col("est_cnt") - F.col("exact_cnt")).alias("overest"),
+    )
+
+
+SQL_CMS_HEAVY_HITTERS = f"""
+WITH toks AS (
+  SELECT token, {_SQL_H60_TOK} AS h60
+  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+), keyed AS (
+  SELECT token, d,
+         ((h60 % {CMS_W}) + d * (1 + ((h60 // {CMS_W}) % {CMS_W - 1})))
+           % {CMS_W} AS pos
+  FROM toks, (SELECT unnest(range({CMS_D})) AS d)
+), sketch AS (
+  SELECT d, pos, count(*)::BIGINT AS cnt FROM keyed GROUP BY d, pos
+), exact AS (
+  SELECT token, count(*)::BIGINT AS exact_cnt FROM keyed
+  WHERE d = 0 GROUP BY token
+), est AS (
+  SELECT k.token, min(s.cnt)::BIGINT AS est_cnt
+  FROM (SELECT DISTINCT token, d, pos FROM keyed) k
+  JOIN sketch s USING (d, pos)
+  GROUP BY k.token
+)
+SELECT token, exact_cnt, est_cnt,
+       (est_cnt - exact_cnt)::BIGINT AS overest
+FROM exact JOIN est USING (token)
+"""
+
+
+def q_hll_distinct(spark, sf_dir):
+    """HyperLogLog distinct-token registers per source, emitted as the
+    integer-exact numerator sum(2^30 div 2^rank) over all m registers
+    (empty register -> rank 0 -> contributes 2^30), next to the exact
+    distinct count. rank = trailing-zero count + 1 of (h div m), via the
+    lowest-set-bit identity w & -w (exact BIGINT both engines), capped
+    at 30."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("token")
+    ).select("source", _h60(F.col("token")).alias("h60"))
+    regs = toks.select(
+        "source",
+        (F.col("h60") % HLL_M).alias("reg"),
+        F.expr(f"h60 div {HLL_M}").alias("w"),
+    ).select(
+        "source",
+        "reg",
+        # 2^(rank-1) = lowest set bit of w; w=0 -> treat as rank cap
+        F.expr(
+            f"least(CASE WHEN w = 0 THEN {2 ** HLL_RANK_CAP} "
+            f"ELSE w & -w END, {2 ** (HLL_RANK_CAP - 1)})"
+        ).alias("lsb"),
+    )
+    reg_max = regs.groupBy("source", "reg").agg(F.max("lsb").alias("m_lsb"))
+    # numerator contribution: 2^30 div 2^rank = 2^29 div lsb (lsb = 2^(rank-1))
+    filled = reg_max.groupBy("source").agg(
+        F.sum(F.expr(f"{2 ** (HLL_RANK_CAP - 1)} div m_lsb")).alias("num_f"),
+        F.count(F.lit(1)).alias("n_regs"),
+    )
+    # empty registers contribute 2^30 each; their count is also emitted
+    # so consumers can apply the small-range linear-counting correction
+    numer = filled.select(
+        "source",
+        (
+            F.col("num_f")
+            + (F.lit(HLL_M) - F.col("n_regs")) * F.lit(2 ** HLL_RANK_CAP)
+        ).alias("hll_numerator"),
+        (F.lit(HLL_M) - F.col("n_regs")).cast("long").alias("n_empty_regs"),
+    )
+    exact = toks.select("source", "h60").distinct().groupBy("source").agg(
+        F.count(F.lit(1)).alias("exact_distinct")
+    )
+    return exact.join(numer, "source").select(
+        "source", "exact_distinct", "hll_numerator", "n_empty_regs"
+    )
+
+
+SQL_HLL_DISTINCT = f"""
+WITH toks AS (
+  SELECT source, {_SQL_H60_TOK} AS h60
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS token
+        FROM documents)
+), regs AS (
+  SELECT source, h60 % {HLL_M} AS reg,
+         least(CASE WHEN (h60 // {HLL_M}) = 0 THEN {2 ** HLL_RANK_CAP}
+               ELSE (h60 // {HLL_M}) & -(h60 // {HLL_M}) END,
+               {2 ** (HLL_RANK_CAP - 1)}) AS lsb
+  FROM toks
+), reg_max AS (
+  SELECT source, reg, max(lsb) AS m_lsb FROM regs GROUP BY source, reg
+), filled AS (
+  SELECT source,
+         SUM({2 ** (HLL_RANK_CAP - 1)} // m_lsb) AS num_f,
+         COUNT(*) AS n_regs
+  FROM reg_max GROUP BY source
+), numer AS (
+  SELECT source,
+         (num_f + ({HLL_M} - n_regs) * {2 ** HLL_RANK_CAP})::BIGINT
+           AS hll_numerator,
+         ({HLL_M} - n_regs)::BIGINT AS n_empty_regs
+  FROM filled
+), exact AS (
+  SELECT source, count(*)::BIGINT AS exact_distinct
+  FROM (SELECT DISTINCT source, h60 FROM toks) GROUP BY source
+)
+SELECT source, exact_distinct, hll_numerator, n_empty_regs
+FROM exact JOIN numer USING (source)
+"""
+
+
+SKETCH_QUERIES = {
+    "cms_heavy_hitters": (q_cms_heavy_hitters, SQL_CMS_HEAVY_HITTERS),
+    "hll_distinct": (q_hll_distinct, SQL_HLL_DISTINCT),
+}

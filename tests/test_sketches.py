@@ -1,0 +1,74 @@
+"""Mergeable sketches (sketches.py): Spark-vs-DuckDB differential plus
+the sketch-theoretic invariants (CMS one-sided error, HLL estimate
+accuracy computed from the integer-exact registers)."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+import pdf_parser_spark.sketches as sk
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _duck(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    return con.execute(sql).fetchdf()
+
+
+def _assert_equal(spark_df, duck_df):
+    cols = sorted(duck_df.columns)
+    got = (
+        spark_df.toPandas()[cols]
+        .astype(str)
+        .sort_values(cols)
+        .reset_index(drop=True)
+    )
+    want = duck_df[cols].astype(str).sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
+
+@pytest.mark.parametrize("name", ["cms_heavy_hitters", "hll_distinct"])
+def test_differential(spark, name):
+    fn, sql = sk.SKETCH_QUERIES[name]
+    _assert_equal(fn(spark, SF_DIR), _duck(sql))
+
+
+def test_cms_one_sided_error_binds(spark):
+    """CMS never underestimates (est >= exact for every token), totals
+    reconcile with the corpus, and with W=16 < vocab the collision
+    branch actually binds (some token IS overestimated) while the min
+    over D rows keeps some tokens exact."""
+    out = sk.q_cms_heavy_hitters(spark, SF_DIR).toPandas()
+    assert (out["est_cnt"] >= out["exact_cnt"]).all()
+    assert (out["overest"] >= 0).all()
+    raw = _duck(
+        "SELECT count(*) AS n FROM "
+        "(SELECT unnest(string_split(text,' ')) FROM documents)"
+    )
+    assert out["exact_cnt"].sum() == int(raw["n"].iloc[0])
+    assert (out["overest"] > 0).any()  # collisions bind
+    assert (out["overest"] == 0).any()  # min-over-rows saves some tokens
+
+
+def test_hll_estimate_within_bound(spark):
+    """The float HLL estimate derived from the integer-exact numerator
+    lands within the standard-error band (1.04/sqrt(m) ~ 26% for m=16;
+    allow 3 sigma) of the exact distinct count, for every source."""
+    import math
+
+    out = sk.q_hll_distinct(spark, SF_DIR).toPandas()
+    m = sk.HLL_M
+    alpha = 0.673  # published alpha_16
+    for _, r in out.iterrows():
+        est = alpha * m * m * (2 ** sk.HLL_RANK_CAP) / r["hll_numerator"]
+        if est < 2.5 * m and r["n_empty_regs"] > 0:
+            est = m * math.log(m / r["n_empty_regs"])  # linear counting
+        rel = abs(est - r["exact_distinct"]) / r["exact_distinct"]
+        assert rel < 3 * 1.04 / (m ** 0.5), (r["source"], est, rel)
+    assert (out["exact_distinct"] > 0).all()
