@@ -152,6 +152,12 @@ def main() -> None:
     from pdf_parser_spark.sketches import SKETCH_QUERIES
 
     all_queries.update(SKETCH_QUERIES)
+
+    from pdf_parser_spark.graph import GRAPH_QUERIES, ensure_host_graph
+
+    if wanted is None or any(q in wanted for q in GRAPH_QUERIES):
+        ensure_host_graph(sf_of(sf_dir))
+    all_queries.update(GRAPH_QUERIES)
     for name, (fn, _sql) in all_queries.items():
         if wanted is not None and name not in wanted:
             continue

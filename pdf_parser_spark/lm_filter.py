@@ -628,6 +628,102 @@ LIMIT {DSIR_K}
 """
 
 
+# --------------------------------------------------------------------------
+# fasttext_quality — linear classifier inference (FineWeb-Edu shape)
+# --------------------------------------------------------------------------
+
+FT_BUCKET_HEX = 3
+FT_B = 16 ** FT_BUCKET_HEX  # 4096 hashed feature buckets
+FT_W_RANGE = 17  # weights span [-8, 8]
+FT_BIAS = 0  # keep iff score > bias
+
+
+def q_fasttext_quality(spark, sf_dir):
+    """Model-based quality classification, the fastText/FineWeb-Edu
+    inference shape: hashed bag-of-ngrams features (word unigrams +
+    bigrams into ``FT_B`` buckets, the dsir_select feature stream), a
+    BROADCAST weight vector, and a per-document linear score deciding
+    keep/drop. The weights here are a deterministic stand-in derived
+    from each bucket's own md5 (a real deployment broadcasts learned
+    weights — same frame, same join); the score is integer end-to-end
+    (weights in [-8, 8], score = Σ w[bucket] over gram OCCURRENCES), so
+    the keep boundary cannot move to float rounding in either engine.
+
+    Scale shape (100 TB): the weight table is ≤ FT_B rows → broadcast;
+    scoring is one gram explode + map-join + one doc_id-keyed partial
+    aggregate — shuffle only on (doc_id, partial sums), never on grams.
+    Identical plumbing to a learned classifier at any corpus size."""
+    docs = _docs(spark, sf_dir)
+    ws = F.split("text", " ")
+    uni = F.transform(ws, lambda w: F.substring(F.md5(w), 1, FT_BUCKET_HEX))
+    big_idx = F.when(
+        F.size(ws) >= 2, F.sequence(F.lit(1), F.size(ws) - 1)
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    big = F.transform(
+        big_idx,
+        lambda i: F.substring(
+            F.md5(F.concat_ws(" ", F.slice(ws, i, 2))), 1, FT_BUCKET_HEX
+        ),
+    )
+    grams = docs.select(
+        "doc_id", F.explode(F.concat(uni, big)).alias("b")
+    )
+    weights = (
+        spark.range(FT_B)
+        .select(F.format_string(f"%0{FT_BUCKET_HEX}x", "id").alias("b"))
+        .select(
+            "b",
+            (
+                F.conv(F.substring(F.md5("b"), 1, 15), 16, 10).cast("long")
+                % FT_W_RANGE
+                - (FT_W_RANGE - 1) // 2
+            ).alias("w"),
+        )
+    )
+    scored = (
+        grams.join(F.broadcast(weights), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("w").alias("score"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_grams",
+        "score",
+        (F.col("score") > FT_BIAS).alias("keep"),
+    )
+
+
+SQL_FASTTEXT_QUALITY = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), grams AS (
+  SELECT doc_id, substr(md5(g), 1, {FT_BUCKET_HEX}) AS b
+  FROM (
+    SELECT doc_id, unnest(ws) AS g FROM d
+    UNION ALL
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(ws)),
+                  i -> ws[i] || ' ' || ws[i + 1])) AS g
+    FROM d
+  )
+), weights AS (
+  SELECT printf('%0{FT_BUCKET_HEX}x', i) AS b,
+         (('0x' || substr(md5(printf('%0{FT_BUCKET_HEX}x', i)), 1, 15))::BIGINT
+            % {FT_W_RANGE} - {(FT_W_RANGE - 1) // 2}) AS w
+  FROM range({FT_B}) t(i)
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_grams,
+       SUM(w)::BIGINT AS score,
+       (SUM(w) > {FT_BIAS}) AS keep
+FROM grams JOIN weights USING (b)
+GROUP BY doc_id
+"""
+
+
 LM_QUERIES = {
     "lm_perplexity_filter": (q_lm_perplexity, SQL_LM_PERPLEXITY),
     "dsir_select": (q_dsir_select, SQL_DSIR_SELECT),
@@ -635,4 +731,5 @@ LM_QUERIES = {
     "corpus_funnel": (q_corpus_funnel, _sql_corpus_funnel),
     "ccnet_terciles": (q_ccnet_terciles, SQL_CCNET_TERCILES),
     "mixture_realize": (q_mixture_realize, SQL_MIXTURE_REALIZE),
+    "fasttext_quality": (q_fasttext_quality, SQL_FASTTEXT_QUALITY),
 }

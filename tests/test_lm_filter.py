@@ -44,6 +44,7 @@ def _assert_equal(spark_df, duck_df):
         "ccnet_terciles",
         "mixture_realize",
         "dsir_select",
+        "fasttext_quality",
     ],
 )
 def test_differential(spark, name):
@@ -207,3 +208,42 @@ def test_lm_empty_model_degenerate_corpus_agrees(spark, tmp_path):
     assert (want["oov_tris"] == want["n_tris"]).all()
     assert want["keep"].all()
     _assert_equal(lf.q_lm_perplexity(spark, str(tmp_path)), want)
+
+
+def test_fasttext_quality_semantics(spark):
+    """Integer-exact classifier invariants: the score equals the pandas
+    reimplementation (hashed unigram+bigram buckets, md5-derived weights)
+    for every doc; keep == score > bias; both branches bind."""
+    import hashlib
+
+    out = (
+        lf.q_fasttext_quality(spark, SF_DIR).toPandas().set_index("doc_id")
+    )
+    import duckdb
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF_DIR}/documents.parquet'"
+    ).df()
+
+    def bucket(g):
+        return hashlib.md5(g.encode()).hexdigest()[: lf.FT_BUCKET_HEX]
+
+    wcache = {}
+
+    def weight(b):
+        if b not in wcache:
+            h = int(hashlib.md5(b.encode()).hexdigest()[:15], 16)
+            wcache[b] = h % lf.FT_W_RANGE - (lf.FT_W_RANGE - 1) // 2
+        return wcache[b]
+
+    n_keep = 0
+    for _, r in docs.iterrows():
+        ws = r["text"].split(" ")
+        grams = ws + [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+        score = sum(weight(bucket(g)) for g in grams)
+        row = out.loc[r["doc_id"]]
+        assert row["score"] == score, (r["doc_id"], row["score"], score)
+        assert row["n_grams"] == len(grams)
+        assert bool(row["keep"]) == (score > lf.FT_BIAS)
+        n_keep += score > lf.FT_BIAS
+    assert 0 < n_keep < len(docs)
