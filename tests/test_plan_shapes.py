@@ -1,0 +1,121 @@
+"""Physical-plan regression guards for the round-3 operators.
+
+COVERAGE.md/BENCH.md claim specific 100 TB-safe plan shapes (broadcast
+joins, map-side partial aggregation, no corpus-keyed windows, bounded
+exchange counts). These tests pin those shapes in the EXECUTED plan so
+a refactor that silently degrades one (e.g. a broadcast falling back to
+sort-merge, a window sneaking onto a skewed key) fails in-suite rather
+than at 100x the data.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture
+def no_checkpoint(monkeypatch):
+    """localCheckpoint truncates the visible plan (downstream sees an
+    RDD scan, not the upstream aggregate). For plan INSPECTION, neuter
+    it so the full lineage stays in one queryExecution."""
+    # patch the CLASSIC class: the abstract pyspark.sql.DataFrame's
+    # method is overridden there, so patching the parent is a no-op
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    monkeypatch.setattr(
+        DataFrame, "localCheckpoint", lambda self, eager=True: self
+    )
+
+
+def test_url_dedup_is_aggregate_not_window(spark):
+    """The refetch collapse must stay a min-struct hash aggregate (map-
+    side combine) — never a window over canon_url (a viral URL would
+    serialize into one task)."""
+    from pdf_parser_spark.urlops import q_url_dedup
+
+    p = _plan(q_url_dedup(spark, SF_DIR))
+    assert "Window" not in p
+    assert "partial_min" in p  # map-side combine of the winner struct
+    assert "CartesianProduct" not in p
+
+
+def test_host_gate_and_bloom_broadcast(spark, no_checkpoint):
+    """The blocklist and the bloom word-frame must ship as broadcasts —
+    zero corpus-side shuffle for the gate, bounded for the bloom."""
+    from pdf_parser_spark.snapshot import q_bloom_dedup
+    from pdf_parser_spark.urlops import q_url_host_gate
+
+    p = _plan(q_url_host_gate(spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    p = _plan(q_bloom_dedup(spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+    assert "partial_bit_or" in p  # sketch partials combine map-side
+
+
+def test_scan_only_ops_have_single_exchange(spark):
+    """mojibake_repair, url_canonicalize and line_dedup_in_doc are
+    embarrassingly parallel scans: exactly one Exchange (the explicit
+    round-robin spread), no aggregate, no join."""
+    from pdf_parser_spark.datapipe import (
+        q_line_dedup_in_doc,
+        q_mojibake_repair,
+    )
+    from pdf_parser_spark.urlops import q_url_canonicalize
+
+    for q in (q_mojibake_repair, q_url_canonicalize, q_line_dedup_in_doc):
+        p = _plan(q(spark, SF_DIR))
+        assert p.count("Exchange") == 1, q.__name__
+        assert "Join" not in p and "Window" not in p, q.__name__
+
+
+def test_sketches_partial_aggregate(spark):
+    """CMS and HLL are one-aggregate sketches: partial aggregation must
+    appear (the sketch merges map-side) and the CMS probe join must be
+    a broadcast."""
+    from pdf_parser_spark.sketches import q_cms_heavy_hitters, q_hll_distinct
+
+    p = _plan(q_cms_heavy_hitters(spark, SF_DIR))
+    assert "partial_count" in p
+    assert "BroadcastHashJoin" in p
+    p = _plan(q_hll_distinct(spark, SF_DIR))
+    assert "partial_max" in p
+
+
+def test_hierarchical_rank_windows_stay_chunked(spark):
+    """domain_cap's windows must be partitioned by the range chunk (the
+    skew-safe decomposition) — a plain PARTITION BY source window (one
+    task per hot domain) must never reappear."""
+    from pdf_parser_spark.datapipe import q_domain_cap
+
+    p = _plan(q_domain_cap(spark, SF_DIR))
+    # every row_number window carries the _chunk key
+    for ln in p.splitlines():
+        if "row_number()" in ln:
+            assert "_chunk" in ln, ln
+
+
+def test_fasttext_weights_broadcast(spark):
+    """The classifier's weight table must broadcast; scoring must
+    partially aggregate map-side."""
+    from pdf_parser_spark.lm_filter import q_fasttext_quality
+
+    p = _plan(q_fasttext_quality(spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+    assert "partial_sum" in p
+
+
+def test_pagerank_contribs_combine_mapside(spark, no_checkpoint):
+    """Each PageRank round's contribution aggregate must partially
+    combine before the exchange (a mega-hub must not receive raw
+    per-edge rows)."""
+    from pdf_parser_spark.graph import q_pagerank_hosts
+
+    p = _plan(q_pagerank_hosts(spark, SF_DIR))
+    assert "partial_sum" in p
