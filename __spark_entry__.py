@@ -52,6 +52,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries into the tail (31 total), every one re-verified in
 # CORRECTNESS_SUPPLEMENT_r03.json.
 _OVERFLOW_TAIL = [
+    "extract_extracted",
     "extract_doc_stats",
     "extract_posco_multi_strategy",
     "report_vendor_rollup",

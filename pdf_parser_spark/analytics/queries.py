@@ -720,6 +720,100 @@ JOIN sizes sb ON sb.doc_id = doc_a + 1
 """
 
 
+MH_EST_K = 16  # independent minhash components for the Jaccard estimator
+
+
+def q_minhash_jaccard_est(spark, sf_dir):
+    """MinHash Jaccard ESTIMATOR with measured error: for each
+    consecutive-doc pair (the ngram_jaccard pair set, so estimate and
+    truth are directly comparable), emit the number of agreeing minhash
+    components (of ``MH_EST_K``=16 — est = n_agree/16, the textbook
+    Pr[min agree] = J identity) next to the exact intersection/union
+    sizes. All columns are BIGINT, so the cross-engine check is
+    bit-exact and the estimator's error is OBSERVED per pair, the same
+    discipline as bloom_dedup's false_pos and cms's overest.
+
+    Scale shape (100 TB): signatures are ONE aggregate over the distinct
+    token stream (16 mins computed as columns of the same groupBy — no
+    16x explode); each doc's signature is 16x2 hex chars however long
+    the doc. Pair scoring joins two 48-byte signature rows; the exact
+    intersection (here, for error measurement) is the shuffle equi-join
+    on token — the piece a production estimator run OMITS, which is the
+    point of carrying the estimate."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("token"),
+    )
+    sigs = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.min(F.substring(F.md5("token"), k * 2 + 1, 2)).alias(f"s{k}")
+            for k in range(MH_EST_K)
+        ],
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("n").alias("na"),
+        *[F.col(f"s{k}").alias(f"a{k}") for k in range(MH_EST_K)],
+    )
+    sb = sigs.select(
+        (F.col("doc_id") - 1).alias("doc_a"),
+        F.col("n").alias("nb"),
+        *[F.col(f"s{k}").alias(f"b{k}") for k in range(MH_EST_K)],
+    )
+    agree = sum(
+        (F.col(f"a{k}") == F.col(f"b{k}")).cast("long")
+        for k in range(MH_EST_K)
+    )
+    a = toks.select(F.col("doc_id").alias("doc_a"), "token")
+    b = toks.select(
+        (F.col("doc_id") - 1).alias("doc_a2"), F.col("token").alias("token_b")
+    )
+    inter = (
+        a.join(b, (a.doc_a == b.doc_a2) & (a.token == b.token_b))
+        .groupBy("doc_a")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        sa.join(sb, "doc_a")
+        .join(inter, "doc_a")
+        .select(
+            "doc_a",
+            (F.col("doc_a") + 1).alias("doc_b"),
+            agree.alias("n_agree"),
+            F.col("inter"),
+            (F.col("na") + F.col("nb") - F.col("inter")).alias("uni"),
+        )
+    )
+
+
+SQL_MINHASH_JACCARD_EST = f"""
+WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+              FROM documents),
+     sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
+     sigk AS (SELECT doc_id, k,
+                     min(substr(md5(token), k * 2 + 1, 2)) AS s
+              FROM toks, (SELECT unnest(range({MH_EST_K})) AS k)
+              GROUP BY doc_id, k),
+     agree AS (SELECT a.doc_id AS doc_a,
+                      count(*) FILTER (WHERE a.s = b.s)::BIGINT AS n_agree
+               FROM sigk a JOIN sigk b
+                 ON b.doc_id = a.doc_id + 1 AND b.k = a.k
+               GROUP BY 1),
+     inter AS (SELECT a.doc_id AS doc_a, count(*)::BIGINT AS inter
+               FROM toks a JOIN toks b
+                 ON b.doc_id = a.doc_id + 1 AND b.token = a.token
+               GROUP BY 1)
+SELECT g.doc_a, g.doc_a + 1 AS doc_b, g.n_agree, i.inter,
+       (sa.n + sb.n - i.inter)::BIGINT AS uni
+FROM agree g
+JOIN inter i USING (doc_a)
+JOIN sizes sa ON sa.doc_id = g.doc_a
+JOIN sizes sb ON sb.doc_id = g.doc_a + 1
+"""
+
+
 def q_embedding_knn(spark, sf_dir):
     """Brute-force cosine/dot top-k similarity search: queries (vec_id < 3)
     vs corpus (vec_id >= 3) via posexplode + equi-join on dimension — the
@@ -1848,6 +1942,7 @@ ANALYTIC_QUERIES: dict[str, tuple] = {
     "minhash_band_candidates": (q_minhash_band_candidates, SQL_MINHASH_BAND_CANDIDATES),
     "simhash": (q_simhash, SQL_SIMHASH),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "minhash_jaccard_est": (q_minhash_jaccard_est, SQL_MINHASH_JACCARD_EST),
     "embedding_knn": (q_embedding_knn, SQL_EMBEDDING_KNN),
     "embedding_lsh_buckets": (q_embedding_lsh_buckets, SQL_EMBEDDING_LSH_BUCKETS),
     "token_stats_by_lang": (q_token_stats_by_lang, SQL_TOKEN_STATS_BY_LANG),

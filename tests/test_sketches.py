@@ -72,3 +72,22 @@ def test_hll_estimate_within_bound(spark):
         rel = abs(est - r["exact_distinct"]) / r["exact_distinct"]
         assert rel < 3 * 1.04 / (m ** 0.5), (r["source"], est, rel)
     assert (out["exact_distinct"] > 0).all()
+
+
+def test_minhash_jaccard_estimator(spark):
+    """Third measured-error sketch: the cross-engine differential on the
+    integer outputs plus the estimator-theory invariants — est = n_agree/16
+    tracks exact inter/uni Jaccard (mean abs error under ~2 standard
+    errors of the K=16 estimator), and the components genuinely vary."""
+    import pdf_parser_spark.analytics.queries as aq
+
+    fn, sql = aq.ANALYTIC_QUERIES["minhash_jaccard_est"]
+    _assert_equal(fn(spark, SF_DIR), _duck(sql))
+    out = fn(spark, SF_DIR).toPandas()
+    est = out["n_agree"] / aq.MH_EST_K
+    exact = out["inter"] / out["uni"]
+    assert (out["uni"] >= out["inter"]).all()
+    assert est.nunique() > 3 and exact.nunique() > 3
+    mean_abs_err = (est - exact).abs().mean()
+    # se of a single pair estimate = sqrt(J(1-J)/16) <= 0.125
+    assert mean_abs_err < 0.25, mean_abs_err
