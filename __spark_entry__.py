@@ -21,6 +21,7 @@ from pdf_parser_spark.analytics import ANALYTIC_QUERIES
 from pdf_parser_spark.boilerplate import BOILERPLATE_QUERIES
 from pdf_parser_spark.datapipe import DATAPIPE_QUERIES
 from pdf_parser_spark.lm_filter import LM_QUERIES
+from pdf_parser_spark.bpe import BPE_QUERIES
 from pdf_parser_spark.graph import GRAPH_QUERIES
 from pdf_parser_spark.sketches import SKETCH_QUERIES
 from pdf_parser_spark.snapshot import SNAPSHOT_QUERIES
@@ -52,6 +53,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries into the tail (31 total), every one re-verified in
 # CORRECTNESS_SUPPLEMENT_r03.json.
 _OVERFLOW_TAIL = [
+    "extract_extracted_spans",
     "extract_extracted",
     "extract_doc_stats",
     "extract_posco_multi_strategy",
@@ -110,6 +112,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out[name] = fn
     for name, (fn, _sql) in GRAPH_QUERIES.items():
         out[name] = fn
+    for name, (fn, _sql) in BPE_QUERIES.items():
+        out[name] = fn
     for name, (fn, _sql) in BOILERPLATE_QUERIES.items():
         out[name] = fn
     for name, (fn, _sql) in ANALYTIC_QUERIES.items():
@@ -142,5 +146,7 @@ def oracle_sql() -> dict[str, str]:
     for name, (_fn, sql) in SKETCH_QUERIES.items():
         out[name] = sql if isinstance(sql, str) else sql(correctness_sf)
     for name, (_fn, sql) in GRAPH_QUERIES.items():
+        out[name] = sql if isinstance(sql, str) else sql(correctness_sf)
+    for name, (_fn, sql) in BPE_QUERIES.items():
         out[name] = sql if isinstance(sql, str) else sql(correctness_sf)
     return out

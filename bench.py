@@ -158,6 +158,10 @@ def main() -> None:
     if wanted is None or any(q in wanted for q in GRAPH_QUERIES):
         ensure_host_graph(sf_of(sf_dir))
     all_queries.update(GRAPH_QUERIES)
+
+    from pdf_parser_spark.bpe import BPE_QUERIES
+
+    all_queries.update(BPE_QUERIES)
     for name, (fn, _sql) in all_queries.items():
         if wanted is not None and name not in wanted:
             continue
