@@ -307,6 +307,108 @@ FROM p FULL OUTER JOIN n ON p.doc_id = n.doc_id
 """
 
 
+# -- streaming twin ----------------------------------------------------------
+
+
+def build_bloom_artifact(spark, sf_dir: str):
+    """Materialize the prior snapshot's Bloom filter as a driver-side
+    artifact: ({word: bits} dict, prior-keys DataFrame). The dict is
+    ≤ M_BITS/WORD_BITS entries (256 here — 1 KiB of bits) however large
+    the prior snapshot: this is the thing a production stream job loads
+    at startup and broadcasts, rebuilt only when the prior snapshot
+    rolls."""
+    docs = _snaps(spark, sf_dir)
+    prior = docs.filter(F.col("snap") == "prior")
+    h = _h60(F.col("text"))
+    m1 = M_BITS - 1
+    hashed = prior.select(
+        F.md5("text").alias("h32"), h.alias("h60")
+    ).select(
+        "h32",
+        (F.col("h60") % M_BITS).alias("h1"),
+        F.expr(f"1 + ((h60 div {M_BITS}) % {m1})").alias("h2"),
+    )
+    probes = hashed.select(
+        "h32",
+        F.explode(F.array(*[F.lit(j) for j in range(K_PROBES)])).alias("j"),
+        "h1",
+        "h2",
+    ).select(
+        "h32",
+        ((F.col("h1") + F.col("j") * F.col("h2")) % M_BITS).alias("pos"),
+    ).select(
+        F.expr(f"pos div {WORD_BITS}").alias("word"),
+        F.expr(
+            f"shiftleft(cast(1 as bigint), cast(pos % {WORD_BITS} as int))"
+        ).alias("mask"),
+    )
+    words = probes.groupBy("word").agg(F.expr("bit_or(mask)").alias("bits"))
+    bloom_map = {int(r["word"]): int(r["bits"]) for r in words.collect()}
+    prior_keys = hashed.select("h32").distinct().withColumn(
+        "known", F.lit(True)
+    )
+    return bloom_map, prior_keys
+
+
+def stream_bloom_dedup(new_docs, bloom_map: dict, prior_keys):
+    """Streaming twin of ``q_bloom_dedup``: per incoming document (a
+    STREAMING DataFrame with a `text` column), the bloom verdict, the
+    exact verdict, and the false-positive flag — stateless, append-mode.
+
+    The probe is fully IN-ROW (positions via transform over a literal
+    j-array; membership via element_at on the broadcast bloom-map
+    literal), because a non-windowed groupBy is illegal in an
+    append-mode stream — the batch form's per-doc K-row aggregate is
+    re-expressed as a forall over the in-row position array, same
+    arithmetic. The exact confirm is a stream-static LEFT join against
+    the slim prior-keys frame (broadcastable; at 10^12 keys you shard it
+    and the join stays stream-static). The identical plan runs on a
+    batch frame, which is how the pytest pins batch equivalence."""
+    m1 = M_BITS - 1
+    entries = []
+    for w, b in sorted(bloom_map.items()):
+        entries.append(F.lit(w))
+        entries.append(F.lit(b))
+    bmap = F.create_map(*entries)
+    h = _h60(F.col("text"))
+    hashed = new_docs.select(
+        "doc_id",
+        F.md5("text").alias("h32"),
+        (h % M_BITS).alias("h1"),
+        (F.lit(1) + F.expr(
+            f"(cast(conv(substring(md5(text), 1, 15), 16, 10) as bigint)"
+            f" div {M_BITS}) % {m1}"
+        )).alias("h2"),
+    )
+    js = F.array(*[F.lit(j) for j in range(K_PROBES)])
+    pos = F.transform(js, lambda j: (F.col("h1") + j * F.col("h2")) % M_BITS)
+    # integer-exact masks via a 32-entry literal array (element_at is
+    # 1-based); pos < M_BITS so the word index math is exact
+    masks = F.array(*[F.lit(1 << k) for k in range(WORD_BITS)])
+    hit = F.forall(
+        pos,
+        lambda p: (
+            F.coalesce(
+                bmap[F.floor(p / WORD_BITS).cast("long")], F.lit(0)
+            ).bitwiseAND(
+                F.element_at(masks, (p % WORD_BITS).cast("int") + 1)
+            )
+            != 0
+        ),
+    )
+    probed = hashed.select("doc_id", "h32", hit.alias("maybe_dup"))
+    return probed.join(prior_keys, "h32", "left").select(
+        "doc_id",
+        "maybe_dup",
+        (F.col("maybe_dup") & F.coalesce("known", F.lit(False))).alias(
+            "is_dup"
+        ),
+        (F.col("maybe_dup") & ~F.coalesce("known", F.lit(False))).alias(
+            "false_pos"
+        ),
+    )
+
+
 SNAPSHOT_QUERIES = {
     "bloom_dedup": (q_bloom_dedup, _sql_bloom_dedup),
     "snapshot_diff": (q_snapshot_diff, _sql_snapshot_diff),

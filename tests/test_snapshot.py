@@ -74,3 +74,52 @@ def test_snapshot_diff_statuses_bind(spark):
     assert got == want
     counts = out["status"].value_counts()
     assert set(counts.index) == {"added", "deleted", "modified", "unchanged"}
+
+
+def test_stream_bloom_dedup_matches_batch(spark, tmp_path):
+    """The streaming twin run over file micro-batches must emit, across
+    all batches, exactly the batch q_bloom_dedup rows — same bloom
+    verdicts, exact verdicts, and false positives."""
+    import pathlib
+
+    rows = sn.gen_snapshots(sn.snap_docs_for_sf(0.001))
+    new_rows = [r for r in rows if r["snap"] == "new"]
+    # two micro-batch files
+    import pandas as pd
+
+    half = len(new_rows) // 2
+    (pathlib.Path(tmp_path) / "in").mkdir()
+    pd.DataFrame(new_rows[:half]).to_parquet(f"{tmp_path}/in/b0.parquet")
+    pd.DataFrame(new_rows[half:]).to_parquet(f"{tmp_path}/in/b1.parquet")
+    bloom_map, prior_keys = sn.build_bloom_artifact(spark, SF_DIR)
+    stream = (
+        spark.readStream.schema("snap string, doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmp_path}/in")
+    )
+    out = sn.stream_bloom_dedup(stream, bloom_map, prior_keys)
+    collected = []
+    q = (
+        out.writeStream.outputMode("append")
+        .foreachBatch(lambda df, _id: collected.extend(df.collect()))
+        .option("checkpointLocation", f"{tmp_path}/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        pd.DataFrame([r.asDict() for r in collected])
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        sn.q_bloom_dedup(spark, SF_DIR)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["doc_id", "maybe_dup", "is_dup", "false_pos"]],
+        want[["doc_id", "maybe_dup", "is_dup", "false_pos"]],
+    )
+    assert got["is_dup"].any() and (~got["is_dup"]).any()
