@@ -53,6 +53,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries into the tail (31 total), every one re-verified in
 # CORRECTNESS_SUPPLEMENT_r03.json.
 _OVERFLOW_TAIL = [
+    "extract_master_log",
     "extract_extracted_spans",
     "extract_extracted",
     "extract_doc_stats",

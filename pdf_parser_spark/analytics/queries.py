@@ -1355,6 +1355,54 @@ SELECT qid, cand_id, dot, rank::BIGINT AS rank FROM (
 """
 
 
+def q_ann_recall(spark, sf_dir):
+    """ANN quality, measured: per query vector, how many of the exact
+    brute-force top-5 the IVF probe search recovered (recall@5 =
+    n_hits/5) plus the candidate count the probe actually scored. Same
+    discipline as bloom_dedup's false_pos / cms's overest / the minhash
+    estimator: the approximation ships WITH its observed error, all
+    columns integers so the cross-engine check is bit-exact.
+
+    Scale shape: composes the two existing searches (exact only exists
+    for measurement — a production run omits it, which is the point);
+    the recall join is top-k-sized (queries x 5 rows)."""
+    exact = q_embedding_knn(spark, sf_dir).select(
+        "qid", F.col("cid").alias("id")
+    )
+    approx = q_embedding_ivf_knn(spark, sf_dir).select(
+        "qid", F.col("cand_id").alias("id")
+    )
+    hits = exact.join(approx, ["qid", "id"]).groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    ex = exact.groupBy("qid").agg(F.count(F.lit(1)).alias("n_exact"))
+    ap = approx.groupBy("qid").agg(F.count(F.lit(1)).alias("n_approx"))
+    return (
+        ex.join(ap, "qid")
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            "n_exact",
+            "n_approx",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+        )
+    )
+
+
+def _sql_ann_recall_lazy(sf: str) -> str:
+    return f"""
+WITH exact AS (SELECT qid, cid AS id FROM ({SQL_EMBEDDING_KNN}) t),
+     approx AS (SELECT qid, cand_id AS id FROM ({SQL_EMBEDDING_IVF_KNN}) t),
+     hits AS (SELECT e.qid, count(*)::BIGINT AS n_hits
+              FROM exact e JOIN approx a USING (qid, id) GROUP BY e.qid),
+     ex AS (SELECT qid, count(*)::BIGINT AS n_exact FROM exact GROUP BY qid),
+     ap AS (SELECT qid, count(*)::BIGINT AS n_approx FROM approx GROUP BY qid)
+SELECT qid, n_exact, n_approx, COALESCE(n_hits, 0)::BIGINT AS n_hits
+FROM ex JOIN ap USING (qid) LEFT JOIN hits USING (qid)
+"""
+
+
+
 # SemDedup prune threshold. Abbas et al. 2023 use ~0.95+ on real encoder
 # embeddings; the synthetic fixture's within-cluster cosines top out at
 # ~0.47, so 0.3 keeps the decision non-vacuous (both kept and dropped
@@ -1943,6 +1991,7 @@ ANALYTIC_QUERIES: dict[str, tuple] = {
     "simhash": (q_simhash, SQL_SIMHASH),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "minhash_jaccard_est": (q_minhash_jaccard_est, SQL_MINHASH_JACCARD_EST),
+    "ann_recall": (q_ann_recall, _sql_ann_recall_lazy),
     "embedding_knn": (q_embedding_knn, SQL_EMBEDDING_KNN),
     "embedding_lsh_buckets": (q_embedding_lsh_buckets, SQL_EMBEDDING_LSH_BUCKETS),
     "token_stats_by_lang": (q_token_stats_by_lang, SQL_TOKEN_STATS_BY_LANG),

@@ -91,3 +91,31 @@ def test_minhash_jaccard_estimator(spark):
     mean_abs_err = (est - exact).abs().mean()
     # se of a single pair estimate = sqrt(J(1-J)/16) <= 0.125
     assert mean_abs_err < 0.25, mean_abs_err
+
+
+def test_ann_recall_measured(spark):
+    """ANN recall artifact: cross-engine differential, n_hits <= n_exact
+    = 5 per query, and the measurement is non-vacuous (recall < 1 for at
+    least one query OR candidates < corpus — the probe genuinely prunes)."""
+    import pdf_parser_spark.analytics.queries as aq
+
+    fn, sql = aq.ANALYTIC_QUERIES["ann_recall"]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{SF_DIR}/embeddings.parquet'"
+    )
+    want = con.execute(sql("0.001")).fetchdf()
+    _assert = spark  # fixture used below
+    got = fn(spark, SF_DIR).toPandas()
+    cols = sorted(got.columns)
+    pd.testing.assert_frame_equal(
+        got[cols].astype(str).sort_values(cols).reset_index(drop=True),
+        want[cols].astype(str).sort_values(cols).reset_index(drop=True),
+    )
+    assert (got["n_exact"] == 5).all()
+    assert (got["n_hits"] <= got["n_exact"]).all()
+    n_corpus = duckdb.sql(
+        f"SELECT count(*) FROM '{SF_DIR}/embeddings.parquet' WHERE vec_id >= 3"
+    ).fetchone()[0]
+    assert (got["n_hits"] < 5).any() or (got["n_approx"] < n_corpus).all()
