@@ -162,6 +162,10 @@ def main() -> None:
     from pdf_parser_spark.bpe import BPE_QUERIES
 
     all_queries.update(BPE_QUERIES)
+
+    from pdf_parser_spark.timeseries import TIMESERIES_QUERIES
+
+    all_queries.update(TIMESERIES_QUERIES)
     for name, (fn, _sql) in all_queries.items():
         if wanted is not None and name not in wanted:
             continue

@@ -1,0 +1,258 @@
+"""Time-series / OLAP shape operators Spark lacks as single primitives.
+
+Four first-class operators a training-data / analytics pipeline needs that
+are NOT plain groupBy/join, each with a DuckDB oracle:
+
+* ``asof_join_events`` — the as-of (most-recent-prior) join, built as the
+  union-tag + ordered-window device instead of a range join: one shuffle on
+  the equi-key, linear in rows, no interval cross-product. DuckDB's native
+  ``ASOF LEFT JOIN`` is the independent oracle implementation.
+* ``rollup_revenue`` — ROLLUP / grouping-sets aggregate with ``grouping_id``,
+  exercising Catalyst's Expand operator (one shuffle; partials combine
+  map-side per grouping set). Revenue is summed as integer ten-thousandths
+  so the grand-total row is exact and order-independent — a double sum over
+  the whole fact table diverges between engines past the rounding guard.
+* ``group_median_exact`` — exact per-group quartiles via Spark's exact
+  ``percentile`` aggregate (sort-based within group). The 100 TB path is
+  ``approx_percentile`` (a mergeable KLL/GK sketch); the exact form is kept
+  because the driver's oracle equality demands bit-stable answers and the
+  grouped frame here is one row per source.
+* ``sliding_window_activity`` — trailing 7-day moving average with a RANGE
+  frame over an integer day index (gap-aware: absent days shrink the frame,
+  which ROWS BETWEEN would get wrong). Runs over the pre-aggregated
+  (event_type, day) frame, so the windowed input is days x types, not raw
+  events.
+
+Reference parity: the reference has no time-series layer (it is a
+Django-wrapped extractor); these are the beyond-reference operators the
+build brief lists as first-class. Column aliases match the oracle SQL
+exactly (driver hash-compares sorted-by-name columns).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# As-of join: purchases <- most recent prior-or-equal view, per user
+# --------------------------------------------------------------------------
+
+
+def q_asof_join_events(spark, sf_dir):
+    """As-of join without a range join: for each purchase event attach the
+    most recent view (ts <= purchase ts) by the same user.
+
+    Device: tag views side=0 / purchases side=1, union, ONE window over
+    (user_id) ordered by (et, side, event_id), and carry the last non-null
+    view payload forward with ``last(..., ignorenulls=True)``. Views at an
+    equal timestamp sort before the purchase, matching ASOF's ``>=``
+    semantics; among views tied on (user_id, et) the event_id ordering
+    makes the carried row the max-event_id one, which is exactly the
+    oracle's ``max_by(value, event_id)`` tie-break — so no dedup
+    pre-aggregate is needed and the whole operator is ONE exchange on
+    user_id plus a per-partition sort (verified in test_plan_shapes). No
+    interval cross-product, so it survives 100x scale-up as long as a
+    single user's history fits a partition (a skewed user would get the
+    same salt+re-merge treatment as H3).
+    """
+    # testdata ts is TIMESTAMP_NTZ; the cast to TIMESTAMP is wall-clock
+    # preserving under the repo's UTC session, matching DuckDB's epoch_us.
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("et"),
+        "event_type",
+        "value",
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", "et", F.lit(0).alias("side"), F.col("value").alias("vv"),
+        F.lit(None).cast("long").alias("pid"), "event_id",
+    )
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "et", F.lit(1).alias("side"), F.lit(None).cast("double").alias("vv"),
+        F.col("event_id").alias("pid"), "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("et", "side", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tagged = views.unionByName(purch).select(
+        "user_id", "et", "side", "pid",
+        F.last(F.when(F.col("side") == 0, F.col("vv")), ignorenulls=True).over(w).alias("view_value"),
+        F.last(F.when(F.col("side") == 0, F.col("et")), ignorenulls=True).over(w).alias("view_et"),
+    )
+    return tagged.where(F.col("side") == 1).select(
+        F.col("pid").alias("event_id"),
+        "user_id",
+        F.col("et").alias("purchase_et"),
+        "view_et",
+        F.round("view_value", 2).alias("view_value"),
+        F.when(F.col("view_et").isNotNull(), F.col("et") - F.col("view_et")).alias("gap_us"),
+    )
+
+
+SQL_ASOF_JOIN_EVENTS = """
+WITH p AS (
+  SELECT user_id, event_id, epoch_us(ts) AS purchase_et
+  FROM events WHERE event_type = 'purchase'
+), v AS (
+  SELECT user_id, epoch_us(ts) AS view_et, max_by(value, event_id) AS vv
+  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+)
+SELECT p.event_id, p.user_id, p.purchase_et, v.view_et,
+       round(v.vv, 2) AS view_value,
+       (p.purchase_et - v.view_et)::BIGINT AS gap_us
+FROM p ASOF LEFT JOIN v
+  ON p.user_id = v.user_id AND p.purchase_et >= v.view_et
+"""
+
+
+# --------------------------------------------------------------------------
+# ROLLUP / grouping sets with grouping_id
+# --------------------------------------------------------------------------
+
+
+def q_rollup_revenue(spark, sf_dir):
+    """ROLLUP(nation, year) revenue cube: per-(nation, year) subtotals,
+    per-nation totals, and the grand total in one pass, tagged with the
+    grouping bitmask. Catalyst plans this as Expand (3 copies of each
+    aggregate input row) + one hash aggregate with map-side partials — one
+    shuffle total, versus three separate groupBys + union re-scanning the
+    join three times. Joins: lineitem->orders equi-join (both big, shuffle),
+    then broadcast customer+nation dims onto the result."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.round(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4) * 10000)
+        .cast("long")
+        .alias("rev_e4"),
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year"))
+    cust = F.broadcast(_t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"))
+    nation = F.broadcast(_t(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .select("n_name", "o_year", "rev_e4")
+    )
+    return (
+        joined.rollup("n_name", "o_year")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.round(F.sum("rev_e4") / 10000.0, 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select("gid", "n_name", "o_year", "revenue", "n_items")
+    )
+
+
+SQL_ROLLUP_REVENUE = """
+SELECT GROUPING(n_name, o_year)::BIGINT AS gid, n_name, o_year,
+       round(sum(rev_e4) / 10000.0, 2) AS revenue, count(*)::BIGINT AS n_items
+FROM (
+  SELECT n_name, date_part('year', o_orderdate)::INT AS o_year,
+         round(round(l_extendedprice * (1 - l_discount), 4) * 10000)::BIGINT AS rev_e4
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+)
+GROUP BY ROLLUP(n_name, o_year)
+"""
+
+
+# --------------------------------------------------------------------------
+# Exact distributed per-group percentiles
+# --------------------------------------------------------------------------
+
+
+def q_group_median_exact(spark, sf_dir):
+    """Exact per-source quartiles of document length (Spark's sort-based
+    ``percentile`` aggregate; DuckDB ``quantile_cont`` uses the same linear
+    interpolation). One shuffle on source; at 100 TB the drop-in scale path
+    is ``approx_percentile`` (mergeable sketch, bounded memory) — exact is
+    used here because the oracle gate hash-compares values and the grouped
+    output is 20 rows."""
+    docs = _t(spark, sf_dir, "documents")
+    q = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("percentile(n_chars, array(0.25D, 0.5D, 0.75D))").alias("qs"),
+    )
+    return q.select(
+        "source",
+        "n_docs",
+        F.round(q.qs[0], 4).alias("p25"),
+        F.round(q.qs[1], 4).alias("p50"),
+        F.round(q.qs[2], 4).alias("p75"),
+    )
+
+
+SQL_GROUP_MEDIAN_EXACT = """
+SELECT source, count(*)::BIGINT AS n_docs,
+       round(quantile_cont(n_chars, 0.25), 4) AS p25,
+       round(quantile_cont(n_chars, 0.50), 4) AS p50,
+       round(quantile_cont(n_chars, 0.75), 4) AS p75
+FROM documents GROUP BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# Gap-aware sliding time window (RANGE frame)
+# --------------------------------------------------------------------------
+
+
+def q_sliding_window_activity(spark, sf_dir):
+    """Trailing 7-day moving average of daily event volume per event_type,
+    as a RANGE frame over an integer day index: days with no events shrink
+    the window's denominator (the correct calendar semantics) where a ROWS
+    frame would silently span gaps. The expensive part — collapsing raw
+    events to (event_type, day) — is one map-side-combined aggregate; the
+    window then runs on the tiny pre-aggregated frame, so the sort is
+    days x types regardless of event volume."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("day"),
+        "value",
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("day_value"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day").rangeBetween(-6, 0)
+    return daily.select(
+        "event_type",
+        "day",
+        "n_events",
+        "day_value",
+        F.round(F.avg("n_events").over(w), 4).alias("ma7_events"),
+        F.sum("n_events").over(w).alias("w7_events"),
+    )
+
+
+SQL_SLIDING_WINDOW_ACTIVITY = """
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '1970-01-01', ts::DATE)::BIGINT AS day,
+         count(*)::BIGINT AS n_events, round(sum(value), 2) AS day_value
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, day, n_events, day_value,
+       round(avg(n_events) OVER w, 4) AS ma7_events,
+       CAST(sum(n_events) OVER w AS BIGINT) AS w7_events
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY day
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
+TIMESERIES_QUERIES: dict[str, tuple] = {
+    "asof_join_events": (q_asof_join_events, SQL_ASOF_JOIN_EVENTS),
+    "rollup_revenue": (q_rollup_revenue, SQL_ROLLUP_REVENUE),
+    "group_median_exact": (q_group_median_exact, SQL_GROUP_MEDIAN_EXACT),
+    "sliding_window_activity": (q_sliding_window_activity, SQL_SLIDING_WINDOW_ACTIVITY),
+}

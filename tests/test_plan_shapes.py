@@ -119,3 +119,45 @@ def test_pagerank_contribs_combine_mapside(spark, no_checkpoint):
 
     p = _plan(q_pagerank_hosts(spark, SF_DIR))
     assert "partial_sum" in p
+
+
+def test_asof_join_single_exchange_no_rangejoin(spark):
+    """The as-of join must stay the union+window device: exactly one
+    data exchange (on user_id), no join operator at all — a range/theta
+    join here would cross-product each user's purchase x view history."""
+    from pdf_parser_spark.timeseries import q_asof_join_events
+
+    p = _plan(q_asof_join_events(spark, SF_DIR))
+    assert (
+        p.count("Exchange hashpartitioning") + p.count("Exchange rangepartitioning")
+        == 1
+    )
+    assert "Join" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_rollup_expands_once_and_broadcasts_dims(spark):
+    """ROLLUP must plan as ONE Expand + ONE grouped exchange (not three
+    separate aggregations), with the customer/nation dims broadcast."""
+    from pdf_parser_spark.timeseries import q_rollup_revenue
+
+    p = _plan(q_rollup_revenue(spark, SF_DIR))
+    assert p.count("Expand") == 1
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "BroadcastHashJoin" in p
+    assert "partial_sum" in p  # grouping-set partials combine map-side
+
+
+def test_sliding_window_runs_on_preaggregated_frame(spark):
+    """The RANGE-frame window must consume the daily aggregate (partial
+    combine before the exchange), so the windowed frame is days x types
+    regardless of raw event volume."""
+    from pdf_parser_spark.timeseries import q_sliding_window_activity
+
+    p = _plan(q_sliding_window_activity(spark, SF_DIR))
+    assert "partial_count" in p or "partial_sum" in p
+    assert "Window" in p
+    # the window's sort must come after the aggregate, not over raw events
+    agg_pos = p.index("HashAggregate")
+    win_pos = p.index("Window")
+    assert win_pos < agg_pos  # plan prints top-down: window consumes agg

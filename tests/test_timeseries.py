@@ -1,0 +1,101 @@
+"""Time-series/OLAP operators (timeseries.py): Spark-vs-DuckDB differential
+on the sf0.001 tables plus independent pandas recomputation of each
+operator's defining semantics (as-of match, rollup additivity, exact
+quantile interpolation, gap-aware RANGE frame)."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from pdf_parser_spark import timeseries as ts
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = ("events", "lineitem", "orders", "customer", "nation", "documents")
+
+
+def _duck(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con.execute(sql).fetchdf()
+
+
+def _assert_equal(spark_df, duck_df):
+    cols = sorted(duck_df.columns)
+    got = (
+        spark_df.toPandas()[cols].astype(str).sort_values(cols).reset_index(drop=True)
+    )
+    want = duck_df[cols].astype(str).sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
+
+@pytest.mark.parametrize("name", sorted(ts.TIMESERIES_QUERIES))
+def test_differential(spark, name):
+    fn, sql = ts.TIMESERIES_QUERIES[name]
+    _assert_equal(fn(spark, SF_DIR), _duck(sql))
+
+
+def test_asof_semantics(spark):
+    """Every matched purchase points at the max view et <= purchase et for
+    that user (recomputed independently in pandas); unmatched purchases are
+    exactly those with no earlier view; both branches bind."""
+    out = ts.q_asof_join_events(spark, SF_DIR).toPandas()
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    ev["et"] = (ev["ts"] - pd.Timestamp(0)) // pd.Timedelta(microseconds=1)
+    views = ev[ev.event_type == "view"]
+    by_user = {u: sorted(g["et"]) for u, g in views.groupby("user_id")}
+    n_matched = 0
+    for row in out.itertuples(index=False):
+        vets = [v for v in by_user.get(row.user_id, []) if v <= row.purchase_et]
+        if vets:
+            assert row.view_et == max(vets)
+            assert row.gap_us == row.purchase_et - max(vets) >= 0
+            n_matched += 1
+        else:
+            assert pd.isna(row.view_et) and pd.isna(row.gap_us)
+    assert 0 < n_matched < len(out) or n_matched == len(out) > 0
+    assert out["event_id"].is_unique
+
+
+def test_rollup_additivity(spark):
+    """gid levels are internally consistent: per-nation totals (gid=1) equal
+    the sum of their (nation, year) cells (gid=0), and the grand total
+    (gid=3) equals the sum of nation totals, for both revenue and counts."""
+    out = ts.q_rollup_revenue(spark, SF_DIR).toPandas()
+    cells = out[out.gid == 0]
+    nat = out[out.gid == 1].set_index("n_name")
+    grand = out[out.gid == 3]
+    assert len(grand) == 1 and grand.iloc[0]["n_name"] is None
+    for name, g in cells.groupby("n_name"):
+        assert nat.loc[name, "n_items"] == g["n_items"].sum()
+        assert abs(nat.loc[name, "revenue"] - g["revenue"].sum()) < 0.05
+    assert grand.iloc[0]["n_items"] == nat["n_items"].sum()
+    assert abs(grand.iloc[0]["revenue"] - nat["revenue"].sum()) < 0.05
+
+
+def test_exact_quantiles_match_pandas(spark):
+    """Spark's exact percentile equals pandas linear interpolation."""
+    out = ts.q_group_median_exact(spark, SF_DIR).toPandas().set_index("source")
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    for src, g in docs.groupby("source"):
+        for col, q in (("p25", 0.25), ("p50", 0.5), ("p75", 0.75)):
+            want = round(g["n_chars"].quantile(q, interpolation="linear"), 4)
+            assert out.loc[src, col] == pytest.approx(want, abs=1e-9)
+        assert out.loc[src, "n_docs"] == len(g)
+
+
+def test_sliding_window_gap_awareness(spark):
+    """The RANGE frame averages only days present within the trailing 7-day
+    interval: recompute ma7 from the daily frame by value, not by row
+    position, and verify the windowed sum too."""
+    out = ts.q_sliding_window_activity(spark, SF_DIR).toPandas()
+    for etype, g in out.groupby("event_type"):
+        days = g.set_index("day")["n_events"].to_dict()
+        for row in g.itertuples(index=False):
+            in_win = [v for d, v in days.items() if row.day - 6 <= d <= row.day]
+            assert row.w7_events == sum(in_win)
+            assert row.ma7_events == pytest.approx(
+                round(sum(in_win) / len(in_win), 4), abs=1e-9
+            )
