@@ -62,6 +62,11 @@ _OVERFLOW_TAIL = [
     "pdf_ingest_filter",
     "event_sessions",
     "embedding_near_dup",
+    # displaced for chunk_text / pps_sample / bpe_encode; r2-era queries
+    # verified in the round-2 judge run and re-verified in the supplement.
+    "stratified_sample",
+    "pack_sequences",
+    "dup_ngram_fraction",
     "extract_master_log",
     "extract_extracted_spans",
     "extract_extracted",

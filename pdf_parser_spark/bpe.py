@@ -182,6 +182,129 @@ def _sql_bpe_train(sf: str) -> str:
     return f"SELECT * FROM read_parquet('{expected_bpe_path(sf)}')"
 
 
+# -- bpe_encode: apply the trained merge table corpus-wide -------------------
+
+
+def py_bpe_encode_len(word: str, merges) -> int:
+    """Sequential reference: number of symbols after applying the merge
+    table in round order (same leftmost-first single pass per round as
+    py_bpe_merges' rewrite step)."""
+    s = list(word)
+    for _t, left, right, _c in merges:
+        out, i = [], 0
+        while i < len(s):
+            if i < len(s) - 1 and s[i] == left and s[i + 1] == right:
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(s[i])
+                i += 1
+        s = out
+    return len(s)
+
+
+def expected_wordlen_path(sf: str) -> str:
+    return str(CACHE_DIR / f"bpe_wordlen_{BPE_VER}_sf{sf}.parquet")
+
+
+def ensure_bpe_wordlen(sf: str) -> None:
+    """Materialize (word, n_sym) for every distinct corpus word via the
+    sequential reference encoder over the reference merge table."""
+    CACHE_DIR.mkdir(exist_ok=True)
+    if os.path.exists(expected_wordlen_path(sf)):
+        return
+    import duckdb
+    import pandas as pd
+
+    ensure_bpe_expected(sf)
+    merges = pd.read_parquet(expected_bpe_path(sf)).itertuples(
+        index=False, name=None
+    )
+    merges = list(merges)
+    words = duckdb.sql(
+        "SELECT DISTINCT token FROM (SELECT unnest(string_split(text, ' '))"
+        f" AS token FROM read_parquet('/root/testdata/sf{sf}"
+        "/documents.parquet'))"
+    ).df()["token"]
+    pd.DataFrame(
+        {"w": words, "n_sym": [py_bpe_encode_len(w, merges) for w in words]}
+    ).astype({"n_sym": "int64"}).to_parquet(
+        expected_wordlen_path(sf), index=False
+    )
+
+
+def q_bpe_encode(spark, sf_dir):
+    """Tokenizer APPLICATION at corpus scale — the production twin of
+    ``bpe_train``: given the persisted merge table (the tokenizer
+    artifact), report per-document BPE token counts.
+
+    Scale shape: the expensive rewrite runs on the distinct WORD-TYPE
+    frame (encode each word once — O(vocab), not O(corpus); a
+    10^9-occurrence word is rewritten once), one staged projection per
+    merge round with a localCheckpoint barrier (the bpe_train device —
+    12 nested folds in one collapsed projection is a Janino hazard).
+    Documents then explode to words and broadcast-join the (word, n_sym)
+    map back — at 100 TB the multi-million-type vocab frame is tens of
+    MB, still broadcastable; nothing corpus-sized shuffles.
+
+    Verification: Spark's fold-chain rewrite vs the sequential Python
+    encoder (`py_bpe_encode_len`) over the same merge table, joined back
+    per doc by pure SQL — the fold machinery itself is the thing
+    differentially tested (bpe_train already proves the merge table)."""
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    ensure_bpe_expected(sf)
+    merges = (
+        spark.read.parquet(expected_bpe_path(sf))
+        .orderBy("round")
+        .collect()
+    )  # the tokenizer artifact: N_MERGES rows of driver traffic, as in prod
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    types = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .distinct()
+        .select("w", F.split("w", "").alias("syms"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=False)
+    )
+    for row in merges:
+        types = types.select(
+            "w", _merge_fold(row["left"], row["right"]).alias("syms")
+        ).localCheckpoint(eager=False)
+    word_len = types.select("w", F.size("syms").cast("long").alias("n_sym"))
+    return (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .join(F.broadcast(word_len), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("ws_tokens"),
+            F.sum("n_sym").alias("bpe_tokens"),
+        )
+        .select(
+            "doc_id",
+            "ws_tokens",
+            "bpe_tokens",
+            F.round(F.col("bpe_tokens") / F.col("ws_tokens"), 4).alias(
+                "bpe_per_word"
+            ),
+        )
+    )
+
+
+def _sql_bpe_encode(sf: str) -> str:
+    ensure_bpe_wordlen(sf)
+    return f"""
+WITH e AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+)
+SELECT doc_id, count(*)::BIGINT AS ws_tokens,
+       SUM(wl.n_sym)::BIGINT AS bpe_tokens,
+       round(SUM(wl.n_sym) * 1.0 / count(*), 4) AS bpe_per_word
+FROM e JOIN read_parquet('{expected_wordlen_path(sf)}') wl ON e.w = wl.w
+GROUP BY doc_id
+"""
+
+
 BPE_QUERIES = {
     "bpe_train": (q_bpe_train, _sql_bpe_train),
+    "bpe_encode": (q_bpe_encode, _sql_bpe_encode),
 }

@@ -1746,24 +1746,19 @@ FROM read_parquet('{moji_path(sf)}')
 N_SHARDS = 16
 
 
-def q_shard_assign(spark, sf_dir):
-    """Token-balanced sharding: every document gets the shard its token
-    prefix starts in, with exactly ``N_SHARDS`` shards of ~equal token
-    mass.
-
-    Scale shape (100 TB): the global prefix sum is the same two-phase
-    range-partition device as ``pack_sequences``/``reports.global_seq`` —
-    local cumsums per range chunk plus a ≤#partitions-row broadcast of
-    chunk offsets — so no single task ever sees more than ~n_rows/parts
-    rows, whatever the corpus size. The grand total rides the same tiny
-    offsets frame (sum of chunk totals), not a second corpus pass: one
-    scan, one slim exchange, two broadcasts."""
-    docs = _docs(spark, sf_dir)
-    n_tokens = F.size(F.split("text", " ")).cast("long")
+def _global_prefix(spark, d: DataFrame, weight: str) -> DataFrame:
+    """Corpus-wide exclusive prefix sum of ``weight`` in doc_id order,
+    as the two-phase range-partition device (``pack_sequences``/
+    ``reports.global_seq``): local cumsums per range chunk plus a
+    ≤#partitions-row broadcast of chunk offsets — no single task ever
+    sees more than ~n_rows/parts rows, whatever the corpus size. The
+    grand total rides the same tiny offsets frame (sum of chunk totals),
+    not a second corpus pass: one scan, one slim exchange, two
+    broadcasts. Returns the input columns plus ``_pre`` (exclusive
+    prefix, BIGINT) and ``_grand`` (corpus total)."""
     parts = max(2, spark.sparkContext.defaultParallelism)
     d = (
-        docs.select("doc_id", n_tokens.alias("n_tokens"))
-        .repartitionByRange(parts, "doc_id")
+        d.repartitionByRange(parts, "doc_id")
         .withColumn("_chunk", F.spark_partition_id())
         .localCheckpoint(eager=False)
     )
@@ -1773,9 +1768,9 @@ def q_shard_assign(spark, sf_dir):
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     local = d.withColumn(
-        "_loc", F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0))
+        "_loc", F.coalesce(F.sum(weight).over(w_local), F.lit(0))
     )
-    chunk_tots = d.groupBy("_chunk").agg(F.sum("n_tokens").alias("_tot"))
+    chunk_tots = d.groupBy("_chunk").agg(F.sum(weight).alias("_tot"))
     w_off = Window.orderBy("_chunk").rowsBetween(
         Window.unboundedPreceding, -1
     )
@@ -1790,7 +1785,23 @@ def q_shard_assign(spark, sf_dir):
             )
         ).alias("_grand"),
     )
-    pre = local.join(F.broadcast(offs), "_chunk").withColumn(
+    return (
+        local.join(F.broadcast(offs), "_chunk")
+        .withColumn("_pre", F.col("_loc") + F.col("_off"))
+        .drop("_loc", "_off")
+    )
+
+
+def q_shard_assign(spark, sf_dir):
+    """Token-balanced sharding: every document gets the shard its token
+    prefix starts in, with exactly ``N_SHARDS`` shards of ~equal token
+    mass. Global prefix sum via ``_global_prefix`` (see there for the
+    100 TB shape)."""
+    docs = _docs(spark, sf_dir)
+    n_tokens = F.size(F.split("text", " ")).cast("long")
+    pre = _global_prefix(
+        spark, docs.select("doc_id", n_tokens.alias("n_tokens")), "n_tokens"
+    ).withColumn(
         "_target",
         F.greatest(
             F.expr(f"(_grand + {N_SHARDS - 1}) div {N_SHARDS}"), F.lit(1)
@@ -1802,7 +1813,7 @@ def q_shard_assign(spark, sf_dir):
         "doc_id",
         "n_tokens",
         F.expr(
-            f"least((_loc + _off) div _target, {N_SHARDS - 1})"
+            f"least(_pre div _target, {N_SHARDS - 1})"
         ).cast("long").alias("shard_id"),
     )
 
@@ -2002,6 +2013,128 @@ GROUP BY source, bucket
 """
 
 
+# --------------------------------------------------------------------------
+# chunk_text — sliding-window training chunks
+# --------------------------------------------------------------------------
+
+CHUNK_SIZE = 64  # words per training chunk
+CHUNK_STRIDE = 48  # overlap = CHUNK_SIZE - CHUNK_STRIDE = 16 words
+
+
+def q_chunk_text(spark, sf_dir):
+    """Sliding-window chunking: each document becomes ceil-strided chunks
+    of CHUNK_SIZE words with CHUNK_SIZE-CHUNK_STRIDE overlap — the unit a
+    context-window training run or an embedding indexer actually consumes.
+    Chunk count is the exact integer 1 + ceil(max(n-SIZE,0)/STRIDE) (the
+    last chunk may be short but every word is covered). Chunks are emitted
+    as (chunk_id, token count, md5 of the chunk text) — the 32-byte digest
+    stands in for shipping chunk bytes through the correctness hash.
+
+    Scale shape (100 TB): pure scan + in-row slice + explode — ZERO
+    shuffle; output fan-out is ~n/STRIDE rows per doc and each row is
+    fixed-width."""
+    docs = _docs(spark, sf_dir)
+    base = docs.select(
+        "doc_id", F.split("text", " ").alias("words")
+    ).withColumn(
+        "k",
+        F.expr(
+            f"1 + (greatest(size(words) - {CHUNK_SIZE}, 0)"
+            f" + {CHUNK_STRIDE - 1}) div {CHUNK_STRIDE}"
+        ),
+    )
+    ex = base.select(
+        "doc_id",
+        "words",
+        F.explode(F.expr("sequence(0, cast(k - 1 as int))")).alias("cid"),
+    )
+    chunk = F.expr(f"slice(words, cid * {CHUNK_STRIDE} + 1, {CHUNK_SIZE})")
+    return ex.select(
+        "doc_id",
+        F.col("cid").cast("long").alias("chunk_id"),
+        F.size(chunk).cast("long").alias("chunk_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+    )
+
+
+SQL_CHUNK_TEXT = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+), k AS (
+  SELECT doc_id, words,
+         1 + (greatest(len(words) - {CHUNK_SIZE}, 0)
+              + {CHUNK_STRIDE - 1}) // {CHUNK_STRIDE} AS k
+  FROM t
+), e AS (
+  SELECT doc_id, words,
+         unnest(generate_series(0, k - 1)) AS cid
+  FROM k
+)
+SELECT doc_id, cid::BIGINT AS chunk_id,
+       len(words[cid * {CHUNK_STRIDE} + 1
+                 : cid * {CHUNK_STRIDE} + {CHUNK_SIZE}])::BIGINT
+         AS chunk_tokens,
+       md5(array_to_string(
+             words[cid * {CHUNK_STRIDE} + 1
+                   : cid * {CHUNK_STRIDE} + {CHUNK_SIZE}], ' '))
+         AS chunk_md5
+FROM e
+"""
+
+
+# --------------------------------------------------------------------------
+# pps_sample — systematic probability-proportional-to-size sampling
+# --------------------------------------------------------------------------
+
+PPS_STEP = 4096  # chars of cumulative weight per systematic draw
+
+
+def q_pps_sample(spark, sf_dir):
+    """Systematic PPS (probability-proportional-to-size) sampling: walk
+    the corpus in doc_id order accumulating n_chars; a document is drawn
+    once for every multiple of PPS_STEP its weight span covers, so
+    inclusion probability is proportional to size, big documents can be
+    drawn multiple times (n_hits is the survey-sampling multiplicity),
+    and the draw is exactly reproducible — no rand(), repartition- and
+    re-run-invariant, integer arithmetic end-to-end.
+
+    Scale shape (100 TB): the global cumulative weight is the
+    ``_global_prefix`` two-phase device (no corpus-keyed window); the
+    selection predicate is then a per-row integer comparison."""
+    docs = _docs(spark, sf_dir)
+    pre = _global_prefix(
+        spark,
+        docs.select("doc_id", "source", F.col("n_chars").alias("weight")),
+        "weight",
+    )
+    hits = pre.withColumn(
+        "n_hits",
+        F.expr(
+            f"(_pre + weight) div {PPS_STEP} - _pre div {PPS_STEP}"
+        ).cast("long"),
+    )
+    return hits.where(F.col("n_hits") >= 1).select(
+        "doc_id", "source", "weight", "n_hits"
+    )
+
+
+SQL_PPS_SAMPLE = f"""
+WITH t AS (
+  SELECT doc_id, source, n_chars AS weight FROM documents
+), p AS (
+  SELECT doc_id, source, weight,
+         COALESCE(SUM(weight) OVER (
+             ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+  FROM t
+)
+SELECT doc_id, source, weight,
+       ((pre + weight) // {PPS_STEP} - pre // {PPS_STEP})::BIGINT AS n_hits
+FROM p
+WHERE (pre + weight) // {PPS_STEP} - pre // {PPS_STEP} >= 1
+"""
+
+
 DATAPIPE_QUERIES = {
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
@@ -2029,6 +2162,8 @@ DATAPIPE_QUERIES = {
     "domain_cap": (q_domain_cap, SQL_DOMAIN_CAP),
     "line_dedup_in_doc": (q_line_dedup_in_doc, _sql_line_dedup_in_doc),
     "corpus_length_stats": (q_corpus_length_stats, SQL_CORPUS_LENGTH_STATS),
+    "chunk_text": (q_chunk_text, SQL_CHUNK_TEXT),
+    "pps_sample": (q_pps_sample, SQL_PPS_SAMPLE),
 }
 
 # Queries that are a free projection over another benched query: timing them

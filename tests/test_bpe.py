@@ -68,3 +68,47 @@ def test_merge_fold_edge_cases(spark):
     ]
     assert out[1] == ["ab", "ab"]
     assert out[2] == ["x"]
+
+
+def test_bpe_encode_matches_python_reference(spark):
+    """Corpus-wide encode differential: Spark's chained in-row folds vs
+    the sequential Python encoder, compared per document (counts + the
+    rounded tokens-per-word ratio)."""
+    sf = "0.001"
+    fn, sql = bp.BPE_QUERIES["bpe_encode"]
+    got = (
+        fn(spark, SF_DIR)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    want = (
+        con.execute(sql(sf)).fetchdf().sort_values("doc_id").reset_index(drop=True)
+    )
+    cols = sorted(want.columns)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        got[cols].astype(str), want[cols].astype(str)
+    )
+
+
+def test_bpe_encode_compresses_and_merges_bind(spark):
+    """The trained merges must actually fire on the fixture: total BPE
+    tokens are strictly fewer than total characters (some pair merged in
+    most docs) and strictly more than whitespace tokens (no word
+    collapses to nothing)."""
+    out = bp.q_bpe_encode(spark, SF_DIR).toPandas()
+    import pandas as pd
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    total_chars_in_words = sum(
+        len(w) for t in docs["text"] for w in t.split(" ")
+    )
+    assert out["bpe_tokens"].sum() < total_chars_in_words
+    assert out["bpe_tokens"].sum() > out["ws_tokens"].sum()
+    assert len(out) == len(docs)

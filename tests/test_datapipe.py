@@ -57,6 +57,8 @@ def _assert_equal(spark_df, duck_df):
         "domain_cap",
         "line_dedup_in_doc",
         "corpus_length_stats",
+        "chunk_text",
+        "pps_sample",
     ],
 )
 def test_differential(spark, name):
@@ -565,3 +567,61 @@ def test_domain_cap_quota(spark):
         a.sort_values("doc_id").reset_index(drop=True),
         b.sort_values("doc_id").reset_index(drop=True),
     )
+
+
+def test_chunk_text_covers_every_word_with_overlap(spark):
+    """Chunk geometry recomputed independently per doc: chunk starts
+    stride by CHUNK_STRIDE, consecutive chunks overlap by
+    CHUNK_SIZE-CHUNK_STRIDE, the union of chunks covers every word, and
+    each chunk_md5 equals the md5 of the corresponding word slice."""
+    import hashlib
+
+    out = dp.q_chunk_text(spark, SF_DIR).toPandas()
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    by_doc = dict(list(out.groupby("doc_id")))
+    multi = 0
+    for row in docs.itertuples(index=False):
+        words = row.text.split(" ")
+        g = by_doc[row.doc_id].sort_values("chunk_id")
+        n = len(words)
+        want_k = 1 + max(0, -(-(max(n - dp.CHUNK_SIZE, 0)) // dp.CHUNK_STRIDE))
+        assert len(g) == want_k
+        covered = 0
+        for c in g.itertuples(index=False):
+            s = int(c.chunk_id) * dp.CHUNK_STRIDE
+            piece = words[s : s + dp.CHUNK_SIZE]
+            assert c.chunk_tokens == len(piece)
+            want_md5 = hashlib.md5(" ".join(piece).encode()).hexdigest()
+            assert c.chunk_md5 == want_md5
+            covered = max(covered, s + len(piece))
+        assert covered == n  # every word reachable from some chunk
+        multi += want_k > 1
+    assert multi > 0  # the multi-chunk branch binds on the fixture
+
+
+def test_pps_sample_multiplicity_and_proportionality(spark):
+    """Recompute the systematic PPS draw in pandas: n_hits equals the
+    number of PPS_STEP multiples inside each doc's cumulative span, the
+    total draw count equals floor(total_weight/STEP) (systematic
+    sampling's fixed sample size), and any doc heavier than STEP is
+    always selected."""
+    out = dp.q_pps_sample(spark, SF_DIR).toPandas().set_index("doc_id")
+    docs = (
+        pd.read_parquet(f"{SF_DIR}/documents.parquet")
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pre = 0
+    total_hits = 0
+    for row in docs.itertuples(index=False):
+        hits = (pre + row.n_chars) // dp.PPS_STEP - pre // dp.PPS_STEP
+        if hits >= 1:
+            assert out.loc[row.doc_id, "n_hits"] == hits
+            total_hits += hits
+        else:
+            assert row.doc_id not in out.index
+        if row.n_chars >= dp.PPS_STEP:
+            assert row.doc_id in out.index  # heavy docs always drawn
+        pre += row.n_chars
+    assert total_hits == int(out["n_hits"].sum()) == pre // dp.PPS_STEP
+    assert len(out) > 0

@@ -161,3 +161,38 @@ def test_sliding_window_runs_on_preaggregated_frame(spark):
     agg_pos = p.index("HashAggregate")
     win_pos = p.index("Window")
     assert win_pos < agg_pos  # plan prints top-down: window consumes agg
+
+
+def test_chunk_text_zero_shuffle(spark):
+    """Chunking is a pure scan + in-row slice + explode: no Exchange, no
+    Join, no Window anywhere in the plan."""
+    from pdf_parser_spark.datapipe import q_chunk_text
+
+    p = _plan(q_chunk_text(spark, SF_DIR))
+    assert "Exchange" not in p
+    assert "Join" not in p and "Window" not in p
+
+
+def test_pps_sample_uses_chunked_prefix(spark, no_checkpoint):
+    """The PPS draw must ride the two-phase prefix device: its local
+    cumsum windows are keyed by the range chunk (never a corpus-wide
+    window), and the offsets frame arrives as a broadcast."""
+    from pdf_parser_spark.datapipe import q_pps_sample
+
+    p = _plan(q_pps_sample(spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+    for ln in p.splitlines():
+        if "Window" in ln and "windowspecdefinition" in ln and "_chunk" not in ln:
+            # the only permitted non-chunk window is the <=parts-row
+            # offsets frame (partition count), keyed by _chunk anyway
+            raise AssertionError(ln)
+
+
+def test_bpe_encode_wordmap_broadcasts(spark, no_checkpoint):
+    """The (word, n_sym) map must join back by broadcast — the corpus
+    side never shuffles on the word key."""
+    from pdf_parser_spark.bpe import q_bpe_encode
+
+    p = _plan(q_bpe_encode(spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
