@@ -67,6 +67,13 @@ _OVERFLOW_TAIL = [
     "stratified_sample",
     "pack_sequences",
     "dup_ngram_fraction",
+    # displaced for hist_quantiles / ivm_source_counts / salted_join;
+    # r2-era, judge-verified in round 2, re-verified in the supplement.
+    "gopher_quality",
+    "gopher_line_rules",
+    "gopher_repetition",
+    # displaced for session_window_builtin; r2-era, judge-verified.
+    "quality_funnel",
     "extract_master_log",
     "extract_extracted_spans",
     "extract_extracted",

@@ -1969,6 +1969,133 @@ GROUP BY p_brand
 """
 
 
+# --------------------------------------------------------------------------
+# session_window_builtin — Spark's native session-window aggregate
+# --------------------------------------------------------------------------
+
+SESSION_GAP_US = SESSION_GAP_S * 1_000_000
+
+
+def q_session_window_builtin(spark, sf_dir):
+    """Sessionization via Spark's NATIVE ``session_window`` aggregate —
+    the operator the streaming twin of event_sessions would use — checked
+    against an oracle that replicates its exact boundary semantics
+    (probed empirically: two events MERGE when the gap equals the
+    threshold exactly, i.e. the split is strictly ``>``, at full
+    microsecond resolution; the window end is last event + gap). This
+    complements ``event_sessions``' lag-flag device: same workload, the
+    built-in physical operator instead of two windows, one shuffle on
+    user_id either way.
+
+    Columns are epoch MICROS (unix_micros), not unix_timestamp seconds —
+    the built-in sessionizes at timestamp resolution, so a second-
+    truncated oracle would disagree on sub-second boundary gaps."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id",
+            F.session_window(F.col("ts").cast("timestamp"), "30 minutes"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("session_window.start").alias("start_et"),
+            F.unix_micros("session_window.end").alias("end_et"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+SQL_SESSION_WINDOW_BUILTIN = f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS et, value, event_id FROM events
+), f AS (
+  SELECT user_id, et, value,
+         CASE WHEN et - lag(et) OVER (PARTITION BY user_id
+                                      ORDER BY et, event_id)
+                   > {SESSION_GAP_US} THEN 1 ELSE 0 END AS new_sess
+  FROM e
+), s AS (
+  SELECT user_id, et, value,
+         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY et
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS sid
+  FROM f
+)
+SELECT user_id, MIN(et) AS start_et,
+       (MAX(et) + {SESSION_GAP_US})::BIGINT AS end_et,
+       count(*)::BIGINT AS n_events,
+       round(SUM(value), 2) AS session_value
+FROM s GROUP BY user_id, sid
+"""
+
+
+# --------------------------------------------------------------------------
+# salted_join — explicit skew-salting device for a shuffled fact-dim join
+# --------------------------------------------------------------------------
+
+SALT_N = 8
+
+
+def q_salted_join(spark, sf_dir):
+    """The manual skew remedy for a SHUFFLED join, shown end-to-end and
+    equality-checked against the plain join: the dim side replicates
+    each key SALT_N times (one row per salt), the fact side computes a
+    deterministic salt from doc_id, and the join key becomes
+    (source, salt) — a key whose heaviest partition is 1/SALT_N of the
+    hottest source's rows. This is what a 100 TB job does when the dim
+    is too big to broadcast (10^8 hosts) and one key owns half the fact
+    table; AQE skew-split handles moderate skew at runtime, salting is
+    the deterministic fallback for the pathological key. The sort-merge
+    path is forced (merge hint) — with a broadcastable dim the device
+    would be pointless; the plan pin asserts SortMergeJoin on the salted
+    key. Replication factor SALT_N multiplies only the DIM side
+    (20 sources x 8 here; at scale #keys x SALT_N, still tiny relative
+    to the fact table)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    dim = (
+        docs.select("source")
+        .distinct()
+        .withColumn(
+            "src_weight",
+            (F.expr("substring(source, 4)").cast("long") * 13) % 97,
+        )
+    )
+    salted_dim = dim.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(SALT_N - 1)))
+    )
+    fact = docs.withColumn(
+        "salt", (F.col("doc_id") % SALT_N).cast("int")
+    )
+    return (
+        fact.join(salted_dim.hint("merge"), ["source", "salt"])
+        .select(
+            "doc_id",
+            "source",
+            "src_weight",
+            (F.col("n_chars") * F.col("src_weight")).alias("weighted"),
+        )
+    )
+
+
+SQL_SALTED_JOIN = """
+WITH dim AS (
+  SELECT DISTINCT source,
+         (CAST(substring(source, 4) AS BIGINT) * 13) % 97 AS src_weight
+  FROM documents
+)
+SELECT doc_id, d.source, src_weight,
+       (n_chars * src_weight)::BIGINT AS weighted
+FROM documents d JOIN dim USING (source)
+"""
+
+
 ANALYTIC_QUERIES: dict[str, tuple] = {
     "regex_token_extract": (q_regex_token_extract, SQL_REGEX_TOKEN_EXTRACT),
     "exact_dedup_md5": (q_exact_dedup_md5, SQL_EXACT_DEDUP_MD5),
@@ -2014,4 +2141,9 @@ ANALYTIC_QUERIES: dict[str, tuple] = {
     "layout_y_lines": (q_layout_y_lines, SQL_LAYOUT_Y_LINES),
     "layout_nearest_heat": (q_layout_nearest_heat, SQL_LAYOUT_NEAREST_HEAT),
     "promo_revenue": (q_promo_revenue, SQL_PROMO_REVENUE),
+    "salted_join": (q_salted_join, SQL_SALTED_JOIN),
+    "session_window_builtin": (
+        q_session_window_builtin,
+        SQL_SESSION_WINDOW_BUILTIN,
+    ),
 }

@@ -213,7 +213,109 @@ FROM exact JOIN numer USING (source)
 """
 
 
+# --------------------------------------------------------------------------
+# hist_quantiles — equi-width histogram quantile estimate, error measured
+# --------------------------------------------------------------------------
+
+HIST_BUCKETS = 32
+
+
+def q_hist_quantiles(spark, sf_dir):
+    """The histogram quantile estimator a 100 TB profiler actually runs:
+    a HIST_BUCKETS-bucket equi-width histogram of n_chars per source (one
+    map-side-combined aggregate — the exchanged frame IS the histogram,
+    buckets x sources rows), median estimated as the midpoint of the
+    bucket where the cumulative count crosses half. Emitted NEXT TO the
+    exact per-group median, with the absolute error — the measured-error
+    discipline (cms/hll/minhash_jaccard_est/ann_recall): the estimate a
+    production run keeps, the exact sort it omits, and the gap between
+    them, never an assumed accuracy.
+
+    All estimator arithmetic is BIGINT (global [lo, hi] from a 2-number
+    broadcast aggregate, integer bucket width, midpoint) so the estimate
+    is bit-identical cross-engine; only the exact median is float, with
+    the same interpolation both sides (cf. group_median_exact)."""
+    docs = _docs(spark, sf_dir).select("source", "n_chars")
+    from pyspark.sql import Window
+
+    bounds = docs.agg(
+        F.min("n_chars").alias("lo"), F.max("n_chars").alias("hi")
+    ).withColumn(
+        "width",
+        F.expr(f"greatest((hi - lo + {HIST_BUCKETS}) div {HIST_BUCKETS}, 1)"),
+    )
+    hist = (
+        docs.crossJoin(F.broadcast(bounds))
+        .select("source", F.expr("(n_chars - lo) div width").alias("b"), "lo", "width")
+        .groupBy("source", "b", "lo", "width")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("source").orderBy("b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy("source")
+    crossed = hist.select(
+        "source", "b", "lo", "width", "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(wt).alias("n"),
+    ).where(F.col("cum") * 2 >= F.col("n"))
+    est = (
+        crossed.groupBy("source")
+        .agg(
+            F.min_by(
+                F.expr("lo + b * width + width div 2"), F.col("b")
+            ).alias("est_p50"),
+            F.min("n").alias("n_docs"),
+        )
+    )
+    exact = docs.groupBy("source").agg(
+        F.round(F.expr("percentile(n_chars, 0.5D)"), 4).alias("exact_p50")
+    )
+    return est.join(exact, "source").select(
+        "source",
+        "n_docs",
+        F.col("est_p50").cast("long"),
+        "exact_p50",
+        F.round(F.abs(F.col("est_p50") - F.col("exact_p50")), 4).alias(
+            "abs_err"
+        ),
+    )
+
+
+SQL_HIST_QUANTILES = f"""
+WITH d AS (
+  SELECT source, n_chars FROM documents
+), bounds AS (
+  SELECT min(n_chars) AS lo, max(n_chars) AS hi,
+         greatest((max(n_chars) - min(n_chars) + {HIST_BUCKETS})
+                  // {HIST_BUCKETS}, 1) AS width
+  FROM d
+), hist AS (
+  SELECT source, (n_chars - lo) // width AS b, lo, width,
+         count(*)::BIGINT AS cnt
+  FROM d, bounds GROUP BY 1, 2, 3, 4
+), crossed AS (
+  SELECT source, b, lo, width,
+         SUM(cnt) OVER (PARTITION BY source ORDER BY b
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(cnt) OVER (PARTITION BY source) AS n
+  FROM hist
+), est AS (
+  SELECT source, min(n)::BIGINT AS n_docs,
+         min_by(lo + b * width + width // 2, b)::BIGINT AS est_p50
+  FROM crossed WHERE cum * 2 >= n GROUP BY source
+), exact AS (
+  SELECT source, round(quantile_cont(n_chars, 0.5), 4) AS exact_p50
+  FROM d GROUP BY source
+)
+SELECT source, n_docs, est_p50, exact_p50,
+       round(abs(est_p50 - exact_p50), 4) AS abs_err
+FROM est JOIN exact USING (source)
+"""
+
+
 SKETCH_QUERIES = {
     "cms_heavy_hitters": (q_cms_heavy_hitters, SQL_CMS_HEAVY_HITTERS),
     "hll_distinct": (q_hll_distinct, SQL_HLL_DISTINCT),
+    "hist_quantiles": (q_hist_quantiles, SQL_HIST_QUANTILES),
 }

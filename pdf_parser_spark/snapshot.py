@@ -409,7 +409,127 @@ def stream_bloom_dedup(new_docs, bloom_map: dict, prior_keys):
     )
 
 
+# --------------------------------------------------------------------------
+# ivm_source_counts — incremental aggregate maintenance from CDC deltas
+# --------------------------------------------------------------------------
+
+IVM_GROUPS = 8
+
+
+def q_ivm_source_counts(spark, sf_dir):
+    """Incremental view maintenance: the per-group (doc count, token
+    mass) aggregate of the NEW snapshot computed WITHOUT scanning it —
+    the stored prior aggregate (IVM_GROUPS rows) plus only the CDC
+    deltas: added docs contribute (+1, +tok), deleted (-1, -tok),
+    modified (0, tok_new - tok_old), and UNCHANGED ROWS ARE FILTERED
+    BEFORE THE UPDATE AGGREGATE — the whole point: at 10^12 rows with
+    monthly ~5% churn, the refresh touches the delta stream (here, the
+    snapshot_diff full-outer join; in production, the already-emitted
+    CDC table), never re-aggregates the corpus.
+
+    The oracle is the FULL RECOMPUTE — a direct aggregate over the new
+    snapshot plus independently-joined audit counts — so hash equality
+    proves the delta algebra exactly reconciles the incremental state
+    with the ground truth."""
+    snaps = _snaps(spark, sf_dir)
+    ntok = F.size(F.split("text", " ")).cast("long")
+    slim = snaps.select(
+        "snap",
+        "doc_id",
+        (F.col("doc_id") % IVM_GROUPS).alias("grp"),
+        ntok.alias("tok"),
+        F.md5("text").alias("h"),
+    )
+    prior = slim.where(F.col("snap") == "prior").select(
+        "doc_id", F.col("grp").alias("p_grp"), F.col("tok").alias("p_tok"),
+        F.col("h").alias("p_h"),
+    )
+    new = slim.where(F.col("snap") == "new").select(
+        "doc_id", F.col("grp").alias("n_grp"), F.col("tok").alias("n_tok"),
+        F.col("h").alias("n_h"),
+    )
+    # the stored aggregate a production job reads back, not recomputes
+    prior_agg = prior.groupBy(F.col("p_grp").alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("p_tok").alias("tot_tokens")
+    )
+    cdc = prior.join(new, "doc_id", "full_outer").where(
+        ~(F.col("p_h").isNotNull() & F.col("n_h").isNotNull()
+          & (F.col("p_h") == F.col("n_h")))
+    )
+    updates = cdc.select(
+        F.coalesce("n_grp", "p_grp").alias("grp"),
+        F.when(F.col("p_h").isNull(), 1)
+        .when(F.col("n_h").isNull(), -1)
+        .otherwise(0)
+        .cast("long")
+        .alias("d_docs"),
+        (F.coalesce("n_tok", F.lit(0)) - F.coalesce("p_tok", F.lit(0))).alias(
+            "d_tok"
+        ),
+        F.col("p_h").isNull().cast("long").alias("added"),
+        F.col("n_h").isNull().cast("long").alias("deleted"),
+        (F.col("p_h").isNotNull() & F.col("n_h").isNotNull())
+        .cast("long")
+        .alias("modified"),
+    ).groupBy("grp").agg(
+        F.sum("d_docs").alias("d_docs"),
+        F.sum("d_tok").alias("d_tok"),
+        F.sum("added").alias("n_added"),
+        F.sum("deleted").alias("n_deleted"),
+        F.sum("modified").alias("n_modified"),
+    )
+    return prior_agg.join(updates, "grp", "full_outer").select(
+        F.col("grp").cast("long"),
+        (F.coalesce("n_docs", F.lit(0)) + F.coalesce("d_docs", F.lit(0)))
+        .cast("long")
+        .alias("n_docs"),
+        (F.coalesce("tot_tokens", F.lit(0)) + F.coalesce("d_tok", F.lit(0)))
+        .cast("long")
+        .alias("tot_tokens"),
+        F.coalesce("n_added", F.lit(0)).cast("long").alias("n_added"),
+        F.coalesce("n_deleted", F.lit(0)).cast("long").alias("n_deleted"),
+        F.coalesce("n_modified", F.lit(0)).cast("long").alias("n_modified"),
+    ).where(
+        # a group whose docs were ALL deleted leaves the maintained view,
+        # matching the direct recompute (which never sees it)
+        F.col("n_docs") > 0
+    )
+
+
+def _sql_ivm_source_counts(sf: str) -> str:
+    ensure_snap_corpus(sf)
+    return f"""
+WITH s AS (
+  SELECT snap, doc_id, doc_id % {IVM_GROUPS} AS grp,
+         len(string_split(text, ' '))::BIGINT AS tok, md5(text) AS h
+  FROM read_parquet('{snap_path(sf)}')
+), n AS (SELECT doc_id, grp, tok, h FROM s WHERE snap = 'new'),
+p AS (SELECT doc_id, grp, tok, h FROM s WHERE snap = 'prior'),
+direct AS (
+  SELECT grp, count(*)::BIGINT AS n_docs, SUM(tok)::BIGINT AS tot_tokens
+  FROM n GROUP BY grp
+), cdc AS (
+  SELECT COALESCE(n.grp, p.grp) AS grp,
+         SUM(CASE WHEN p.doc_id IS NULL THEN 1 ELSE 0 END)::BIGINT
+           AS n_added,
+         SUM(CASE WHEN n.doc_id IS NULL THEN 1 ELSE 0 END)::BIGINT
+           AS n_deleted,
+         SUM(CASE WHEN p.doc_id IS NOT NULL AND n.doc_id IS NOT NULL
+                       AND p.h <> n.h THEN 1 ELSE 0 END)::BIGINT
+           AS n_modified
+  FROM p FULL OUTER JOIN n ON p.doc_id = n.doc_id
+  GROUP BY 1
+)
+SELECT grp::BIGINT AS grp, n_docs, tot_tokens,
+       COALESCE(n_added, 0)::BIGINT AS n_added,
+       COALESCE(n_deleted, 0)::BIGINT AS n_deleted,
+       COALESCE(n_modified, 0)::BIGINT AS n_modified
+FROM direct LEFT JOIN cdc USING (grp)
+"""
+
+
 SNAPSHOT_QUERIES = {
     "bloom_dedup": (q_bloom_dedup, _sql_bloom_dedup),
     "snapshot_diff": (q_snapshot_diff, _sql_snapshot_diff),
+    "ivm_source_counts": (q_ivm_source_counts, _sql_ivm_source_counts),
 }

@@ -70,6 +70,14 @@ def q_asof_join_events(spark, sf_dir):
         "event_type",
         "value",
     )
+    return _asof_core(ev)
+
+
+def _asof_core(ev: DataFrame) -> DataFrame:
+    """The union+window as-of device over a pre-projected
+    (user_id, event_id, et, event_type, value) frame — split out so the
+    property fuzz can drive it over arbitrary event streams (including
+    planted equal-timestamp ties the parquet fixture never produces)."""
     views = ev.where(F.col("event_type") == "view").select(
         "user_id", "et", F.lit(0).alias("side"), F.col("value").alias("vv"),
         F.lit(None).cast("long").alias("pid"), "event_id",

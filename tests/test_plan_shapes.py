@@ -196,3 +196,17 @@ def test_bpe_encode_wordmap_broadcasts(spark, no_checkpoint):
     p = _plan(q_bpe_encode(spark, SF_DIR))
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_salted_join_sortmerge_on_salted_key(spark):
+    """The salted join must take the sort-merge path (the device exists
+    for the non-broadcastable dim) and its join key must include the
+    salt — so the hottest source's rows split across SALT_N partitions."""
+    from pdf_parser_spark.analytics.queries import q_salted_join
+
+    p = _plan(q_salted_join(spark, SF_DIR))
+    assert "SortMergeJoin" in p
+    for ln in p.splitlines():
+        if "SortMergeJoin" in ln:
+            assert "salt" in ln, ln
+    assert "CartesianProduct" not in p

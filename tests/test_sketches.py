@@ -33,7 +33,9 @@ def _assert_equal(spark_df, duck_df):
     pd.testing.assert_frame_equal(got, want)
 
 
-@pytest.mark.parametrize("name", ["cms_heavy_hitters", "hll_distinct"])
+@pytest.mark.parametrize(
+    "name", ["cms_heavy_hitters", "hll_distinct", "hist_quantiles"]
+)
 def test_differential(spark, name):
     fn, sql = sk.SKETCH_QUERIES[name]
     _assert_equal(fn(spark, SF_DIR), _duck(sql))
@@ -119,3 +121,24 @@ def test_ann_recall_measured(spark):
         f"SELECT count(*) FROM '{SF_DIR}/embeddings.parquet' WHERE vec_id >= 3"
     ).fetchone()[0]
     assert (got["n_hits"] < 5).any() or (got["n_approx"] < n_corpus).all()
+
+
+def test_hist_quantile_error_bounded_by_bucket(spark):
+    """The histogram median estimate can be off by at most one bucket
+    width (midpoint of the crossing bucket vs the true median inside
+    it); recompute the bound from the data and check abs_err respects
+    it and is reported faithfully (abs_err == |est - exact|)."""
+    out = sk.q_hist_quantiles(spark, SF_DIR).toPandas()
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    lo, hi = docs["n_chars"].min(), docs["n_chars"].max()
+    width = max((hi - lo + sk.HIST_BUCKETS) // sk.HIST_BUCKETS, 1)
+    for row in out.itertuples(index=False):
+        g = docs[docs.source == row.source]["n_chars"]
+        exact = g.quantile(0.5, interpolation="linear")
+        assert row.exact_p50 == pytest.approx(round(exact, 4), abs=1e-9)
+        assert row.abs_err == pytest.approx(
+            round(abs(row.est_p50 - row.exact_p50), 4), abs=1e-9
+        )
+        assert abs(row.est_p50 - exact) <= width  # one-bucket bound
+        assert row.n_docs == len(g)
+    assert (out["abs_err"] > 0).any()  # the estimate is genuinely approximate

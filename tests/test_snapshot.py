@@ -123,3 +123,25 @@ def test_stream_bloom_dedup_matches_batch(spark, tmp_path):
         want[["doc_id", "maybe_dup", "is_dup", "false_pos"]],
     )
     assert got["is_dup"].any() and (~got["is_dup"]).any()
+
+
+def test_ivm_differential_and_reconciliation(spark):
+    """ivm_source_counts: cross-engine differential (Spark's incremental
+    delta path vs DuckDB's full recompute) PLUS an independent pandas
+    reconstruction — the incrementally-maintained aggregate must equal a
+    direct aggregate of the new snapshot, and every delta class binds on
+    the fixture."""
+    fn, sql = sn.SNAPSHOT_QUERIES["ivm_source_counts"]
+    _assert_equal(fn(spark, SF_DIR), duckdb.sql(sql(sf_of(SF_DIR))).df())
+    out = fn(spark, SF_DIR).toPandas().set_index("grp").sort_index()
+    rows = sn.gen_snapshots(sn.snap_docs_for_sf(0.001))
+    new = [r for r in rows if r["snap"] == "new"]
+    for g in out.index:
+        docs_g = [r for r in new if r["doc_id"] % sn.IVM_GROUPS == g]
+        assert out.loc[g, "n_docs"] == len(docs_g)
+        assert out.loc[g, "tot_tokens"] == sum(
+            len(r["text"].split(" ")) for r in docs_g
+        )
+    assert out["n_added"].sum() > 0
+    assert out["n_deleted"].sum() > 0
+    assert out["n_modified"].sum() > 0

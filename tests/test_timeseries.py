@@ -99,3 +99,51 @@ def test_sliding_window_gap_awareness(spark):
             assert row.ma7_events == pytest.approx(
                 round(sum(in_win) / len(in_win), 4), abs=1e-9
             )
+
+
+def test_session_window_builtin_semantics(spark):
+    """Pin the built-in session_window boundary semantics the oracle
+    replicates: events exactly one gap apart MERGE (split is strictly >),
+    sub-gap microsecond differences merge, and end = last event + gap.
+    Then on the real fixture: the built-in produces exactly as many
+    sessions as the lag-flag device (event_sessions)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from pdf_parser_spark.analytics.queries import (
+        SESSION_GAP_US,
+        q_event_sessions,
+        q_session_window_builtin,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, base),
+        (1, base + datetime.timedelta(seconds=1800)),          # == gap: merge
+        (1, base + datetime.timedelta(seconds=3600, microseconds=1)),  # > gap: split
+        (2, base),
+        (2, base + datetime.timedelta(seconds=1799, microseconds=999999)),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp")
+    out = (
+        df.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            "user_id",
+            F.unix_micros("session_window.start").alias("s"),
+            F.unix_micros("session_window.end").alias("e"),
+            "n",
+        )
+        .toPandas()
+    )
+    u1 = out[out.user_id == 1].sort_values("s")
+    assert list(u1["n"]) == [2, 1]  # equal-gap merged, >gap split
+    u2 = out[out.user_id == 2]
+    assert list(u2["n"]) == [2]
+    assert int(u2.iloc[0]["e"] - u2.iloc[0]["s"]) == 1799999999 + SESSION_GAP_US
+
+    sf = "/root/testdata/sf0.001"
+    n_builtin = q_session_window_builtin(spark, sf).count()
+    n_device = q_event_sessions(spark, sf).count()
+    assert n_builtin == n_device
