@@ -383,3 +383,100 @@ def sessionized_event_counts(
             "n_events",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming as-of join (stateful per-user last-view attach)
+# --------------------------------------------------------------------------
+
+_ASOF_OUT_SCHEMA = (
+    "user_id long, event_id long, purchase_et long, view_et long, "
+    "view_value double, gap_us long"
+)
+_ASOF_STATE_SCHEMA = (
+    "view_ets array<long>, view_ids array<long>, view_vals array<double>"
+)
+
+
+def _asof_update(key, pdfs, state):
+    """applyInPandasWithState update fn for the streaming as-of join —
+    module-level so the merge/tie-break logic is unit-testable without a
+    streaming query.
+
+    State per user: the sorted (et, event_id, value) view list. Each
+    micro-batch is sorted by (et, views-first, event_id) — the exact
+    ordering of the batch device (timeseries._asof_core) — then views
+    merge into state and each purchase binds to the rightmost state view
+    with et <= purchase_et (max et, then max event_id: the oracle's
+    max_by tie-break). Within a batch, arbitrary disorder is absorbed by
+    the sort; ACROSS batches the stream must be et-ordered per user (a
+    purchase cannot see a view that arrives in a later batch) — the
+    standard streaming-asof contract. A production run bounds the state
+    list by watermark: every view older than the event-time watermark
+    except the newest collapses to one entry (any future purchase is
+    newer than the watermark); kept whole here since the fixture lists
+    are small and eviction would be untestable noise."""
+    import bisect
+
+    import pandas as pd
+
+    (user_id,) = key
+    if state.exists:
+        ets, ids, vals = (list(x) for x in state.get)
+        views = sorted(zip(ets, ids, vals))
+    else:
+        views = []
+    out = []
+    for pdf in pdfs:
+        pdf = pdf.copy()
+        pdf["_side"] = (pdf["event_type"] == "purchase").astype(int)
+        pdf = pdf.sort_values(["et", "_side", "event_id"])
+        for r in pdf.itertuples():
+            if r.event_type == "view":
+                bisect.insort(views, (int(r.et), int(r.event_id), r.value))
+            elif r.event_type == "purchase":
+                pos = bisect.bisect_right(
+                    views, (int(r.et), float("inf"), 0.0)
+                )
+                if pos:
+                    v_et, _v_id, v_val = views[pos - 1]
+                    out.append(
+                        (user_id, int(r.event_id), int(r.et), v_et,
+                         round(v_val, 2), int(r.et) - v_et)
+                    )
+                else:
+                    out.append(
+                        (user_id, int(r.event_id), int(r.et), None, None, None)
+                    )
+    state.update((
+        [v[0] for v in views],
+        [v[1] for v in views],
+        [v[2] for v in views],
+    ))
+    if out:
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "user_id", "event_id", "purchase_et", "view_et",
+                "view_value", "gap_us",
+            ],
+        )
+
+
+def asof_event_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of the batch as-of join (timeseries._asof_core):
+    over a stream of (user_id, event_id, et, event_type, value), emit
+    each purchase with the most recent view at-or-before it. Keyed state
+    per user (the view list — see _asof_update for the watermark
+    eviction story), output mode append; non-view/purchase events pass
+    through the state fn and are ignored, exactly as the batch filters
+    do."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        _asof_update,
+        _ASOF_OUT_SCHEMA,
+        _ASOF_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -371,3 +371,56 @@ def test_sessionized_counts_streaming_late_event(spark, tmp_path):
     # user 2's session never emitted (watermark still behind its end).
     assert not any(u == 2 for (u, _s) in got)
     assert len(got) == 1
+
+
+def test_asof_stream_matches_batch(spark, tmp_path):
+    """Streaming as-of join == batch as-of join on the same events: the
+    sf0.001 events split into 3 et-ordered micro-batch files (the
+    streaming-asof ordering contract), drained with availableNow, must
+    emit exactly the batch device's rows — including null-view purchases
+    and every view carried across batch boundaries in state."""
+    import pandas as pd
+
+    from pdf_parser_spark.timeseries import _asof_core
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    ev["et"] = (ev["ts"] - pd.Timestamp(0)) // pd.Timedelta(microseconds=1)
+    ev = ev[["user_id", "event_id", "et", "event_type", "value"]].sort_values(
+        ["et", "event_id"]
+    )
+    inp = tmp_path / "asof_in"
+    inp.mkdir()
+    n = len(ev)
+    for i, lo in enumerate(range(0, n, -(-n // 3))):
+        ev.iloc[lo : lo + -(-n // 3)].to_parquet(
+            inp / f"b{i}.parquet", index=False
+        )
+
+    stream = (
+        spark.readStream.schema(
+            "user_id long, event_id long, et long, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(inp))
+    )
+    q = (
+        streaming.asof_event_stream(stream)
+        .writeStream.format("memory")
+        .queryName("asof_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "asof_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql("select * from asof_stream").toPandas()
+
+    sdf = spark.createDataFrame(
+        ev, "user_id long, event_id long, et long, event_type string, value double"
+    )
+    want = _asof_core(sdf).toPandas()
+    cols = sorted(want.columns)
+    got = got[cols].astype(str).sort_values(cols).reset_index(drop=True)
+    want = want[cols].astype(str).sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    assert len(got) > 0
