@@ -182,6 +182,75 @@ JOIN (SELECT src, count(*)::BIGINT AS outdeg
     return "".join(parts)
 
 
+def q_triangle_count(spark, sf_dir):
+    """Per-host triangle count over the undirected simple host graph —
+    the local clustering signal link-spam filters use (a link farm is a
+    dense near-clique; organic hubs have low closure).
+
+    Shape: canonicalize to a<b undirected edges (one distinct), then
+    the standard two-join enumeration — wedges (a<b<c via e1.b = e2.a,
+    so each triangle is generated exactly once in id order) closed by
+    an equi-join back onto the edge set — then explode each triangle's
+    three corners and count per node. Two shuffle joins on edge keys +
+    one final aggregate; no cross product anywhere. At web scale the
+    id-orientation is replaced by DEGREE orientation (orient each edge
+    low-degree -> high-degree endpoint) so a 10^6-degree hub generates
+    no wedge pairs — same plan, different orientation key; id order is
+    kept here because it is what the SQL oracle can replay verbatim.
+    """
+    from .driver_contract import sf_of
+
+    sf = sf_of(sf_dir)
+    ensure_host_graph(sf)
+    raw = spark.read.parquet(edges_path(sf))
+    return _triangle_core(raw)
+
+
+def _triangle_core(raw: DataFrame) -> DataFrame:
+    """Canonicalize + enumerate + count over any (src, dst) edge frame —
+    split out so tests can drive it on known-closure graphs (K4, a
+    pendant edge) where every node's triangle count is computable by
+    hand."""
+    und = (
+        raw.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    e2 = und.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    wedges = und.join(e2, "b").select("a", "b", "c")
+    e3 = und.select(F.col("a").alias("a"), F.col("b").alias("c"))
+    tri = wedges.join(e3, ["a", "c"])
+    corners = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    return corners
+
+
+def _sql_triangle_count(sf: str) -> str:
+    ensure_host_graph(sf)
+    return f"""
+WITH und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM read_parquet('{edges_path(sf)}') WHERE src <> dst
+), tri AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM und e1
+  JOIN und e2 ON e1.b = e2.a
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+), corners AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT node, count(*)::BIGINT AS n_tri FROM corners GROUP BY node
+"""
+
+
 GRAPH_QUERIES = {
     "pagerank_hosts": (q_pagerank_hosts, _sql_pagerank_hosts),
+    "triangle_count": (q_triangle_count, _sql_triangle_count),
 }

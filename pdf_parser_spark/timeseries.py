@@ -258,9 +258,307 @@ WINDOW w AS (PARTITION BY event_type ORDER BY day
 """
 
 
+# --------------------------------------------------------------------------
+# Calendar gap-fill + forward-fill interpolation
+# --------------------------------------------------------------------------
+
+
+def q_gap_fill_interpolate(spark, sf_dir):
+    """Resample the event stream to a dense per-type daily grid and
+    forward-fill the last observed daily value across gap days — the
+    time-series densification step every downstream rolling metric
+    assumes (a RANGE window is gap-AWARE; this op makes the calendar
+    gap-FREE so ROWS frames and per-day ratios are valid).
+
+    Shape: one map-side-combined aggregate to (event_type, day); the
+    grid is ``sequence(min_day, max_day)`` exploded from the 5-row
+    per-type bounds frame — grid size is days x types, never a function
+    of event volume; one equi-join grid<-daily (broadcast at any sf:
+    the DAILY side is the small one; at 100 TB the grid is still
+    types x days ~ 10^5 rows) and one forward-fill window per type
+    (``last(.., ignorenulls=True)`` over a running frame). No raw
+    event ever enters the window sort."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("day"),
+        "value",
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("day_value"),
+    )
+    grid = (
+        daily.groupBy("event_type")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select("event_type", F.explode(F.sequence("d0", "d1")).alias("day"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    filled = grid.join(daily, ["event_type", "day"], "left")
+    return filled.select(
+        "event_type",
+        "day",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.col("n_events").isNull().alias("is_gap"),
+        F.last("day_value", ignorenulls=True).over(w).alias("ff_value"),
+    )
+
+
+SQL_GAP_FILL_INTERPOLATE = """
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '1970-01-01', ts::DATE)::BIGINT AS day,
+         count(*)::BIGINT AS n_events, round(sum(value), 2) AS day_value
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT event_type, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1
+), grid AS (
+  SELECT event_type, unnest(generate_series(d0, d1))::BIGINT AS day
+  FROM bounds
+)
+SELECT g.event_type, g.day,
+       coalesce(d.n_events, 0)::BIGINT AS n_events,
+       (d.n_events IS NULL) AS is_gap,
+       last_value(d.day_value IGNORE NULLS) OVER (
+         PARTITION BY g.event_type ORDER BY g.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ff_value
+FROM grid g LEFT JOIN daily d USING (event_type, day)
+"""
+
+
+# --------------------------------------------------------------------------
+# Cohort retention matrix
+# --------------------------------------------------------------------------
+
+
+def q_cohort_retention(spark, sf_dir):
+    """Classic cohort-retention matrix: users cohorted by the ISO week
+    of their first event; each cell is the distinct users from that
+    cohort active k weeks later, plus the retention ratio against the
+    cohort's own week-0 size.
+
+    Shape: the cohort assignment is a slim (user_id, min week)
+    aggregate; joining it back to the weekly-activity frame shuffles on
+    user_id — the SAME key as the aggregate, so Catalyst reuses one
+    exchange. The distinct-users cell count is the second (and last)
+    shuffle. The week-0 size joins back via broadcast (one row per
+    cohort week). At 100 TB the user->first-week frame is the only
+    state that must co-locate, exactly like H3's winner set."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        (F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")) / 7)
+        .cast("long")
+        .alias("week"),
+    )
+    weekly = ev.distinct()
+    first = weekly.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    cells = (
+        weekly.join(first, "user_id")
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+    base = cells.where(F.col("week_offset") == 0).select(
+        "cohort_week", F.col("n_users").alias("n_cohort")
+    )
+    return cells.join(F.broadcast(base), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_users",
+        "n_cohort",
+        F.round(F.col("n_users") / F.col("n_cohort"), 4).alias("retention"),
+    )
+
+
+SQL_COHORT_RETENTION = """
+WITH weekly AS (
+  SELECT DISTINCT user_id,
+         (date_diff('day', DATE '1970-01-01', ts::DATE) // 7)::BIGINT AS week
+  FROM events
+), first AS (
+  SELECT user_id, min(week) AS cohort_week FROM weekly GROUP BY 1
+), cells AS (
+  SELECT f.cohort_week, w.week - f.cohort_week AS week_offset,
+         count(DISTINCT w.user_id)::BIGINT AS n_users
+  FROM weekly w JOIN first f USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT c.cohort_week, c.week_offset, c.n_users, b.n_cohort,
+       round(c.n_users / b.n_cohort::DOUBLE, 4) AS retention
+FROM cells c JOIN (
+  SELECT cohort_week, n_users AS n_cohort FROM cells WHERE week_offset = 0
+) b USING (cohort_week)
+"""
+
+
+# --------------------------------------------------------------------------
+# Ordered funnel conversion (view -> click -> purchase)
+# --------------------------------------------------------------------------
+
+
+def q_funnel_conversion(spark, sf_dir):
+    """Ordered funnel per user: first view, first click AT-OR-AFTER that
+    view, first purchase at-or-after that click — the sequencing makes
+    this NOT a plain conditional aggregate (a click before any view
+    must not count).
+
+    Device: ONE exchange on user_id; two chained running-min windows
+    over the identical (et, event_id) ordering — ``v_min`` (first view
+    so far) qualifies clicks, the running min of qualified clicks
+    qualifies purchases — then a per-user aggregate on the same key
+    (the exchange is reused across both windows and the final
+    aggregate; no self-joins, no per-stage re-scan). Ties at equal
+    timestamps resolve by event_id through the shared window order, so
+    both engines agree bit-exactly. ``reached`` is the funnel depth
+    0-3."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("et"),
+        "event_type",
+    )
+    return _funnel_core(ev)
+
+
+def _funnel_core(ev: DataFrame) -> DataFrame:
+    """The chained running-window funnel device over a pre-projected
+    (user_id, event_id, et, event_type) frame — split out so tests can
+    drive it over crafted streams (click-before-view, equal-timestamp
+    ties) the parquet fixture may never produce."""
+    w = Window.partitionBy("user_id").orderBy("et", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    s1 = ev.withColumn(
+        "v_min", F.min(F.when(F.col("event_type") == "view", F.col("et"))).over(w)
+    )
+    s2 = s1.withColumn(
+        "qc",
+        F.when(
+            (F.col("event_type") == "click") & (F.col("et") >= F.col("v_min")),
+            F.col("et"),
+        ),
+    ).withColumn("c_min", F.min("qc").over(w))
+    s3 = s2.withColumn(
+        "qp",
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("et") >= F.col("c_min")),
+            F.col("et"),
+        ),
+    )
+    per_user = s3.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("et"))).alias("t_view"),
+        F.min("qc").alias("t_click"),
+        F.min("qp").alias("t_purchase"),
+    )
+    return per_user.select(
+        "user_id",
+        "t_view",
+        "t_click",
+        "t_purchase",
+        (
+            F.col("t_view").isNotNull().cast("int")
+            + F.col("t_click").isNotNull().cast("int")
+            + F.col("t_purchase").isNotNull().cast("int")
+        ).alias("reached"),
+    )
+
+
+SQL_FUNNEL_CONVERSION = """
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS et, event_type FROM events
+), s1 AS (
+  SELECT *, min(CASE WHEN event_type = 'view' THEN et END) OVER w AS v_min
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY et, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), s2 AS (
+  SELECT *, CASE WHEN event_type = 'click' AND et >= v_min THEN et END AS qc
+  FROM s1
+), s3 AS (
+  SELECT *, min(qc) OVER w AS c_min
+  FROM s2 WINDOW w AS (PARTITION BY user_id ORDER BY et, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), s4 AS (
+  SELECT *, CASE WHEN event_type = 'purchase' AND et >= c_min THEN et END AS qp
+  FROM s3
+), agg AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN et END) AS t_view,
+         min(qc) AS t_click, min(qp) AS t_purchase
+  FROM s4 GROUP BY user_id
+)
+SELECT user_id, t_view, t_click, t_purchase,
+       ((t_view IS NOT NULL)::INT + (t_click IS NOT NULL)::INT
+        + (t_purchase IS NOT NULL)::INT) AS reached
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
+# Pivot: revenue years -> columns
+# --------------------------------------------------------------------------
+
+PIVOT_YEARS = list(range(1995, 2002))  # testdata orders span 1995-2001
+
+
+def q_pivot_revenue_years(spark, sf_dir):
+    """Nation x year revenue pivoted to one column per year. The year
+    list is EXPLICIT (``pivot(col, values)``), which matters at scale:
+    without it Spark runs an extra distinct-scan job over the fact
+    table just to discover the columns. With it, the whole pivot is ONE
+    hash aggregate with 7 conditional sums — same single-shuffle cost
+    as any groupBy, integer ten-thousandths so each cell is
+    summation-order exact. Dims broadcast as in rollup_revenue."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.round(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4) * 10000)
+        .cast("long")
+        .alias("rev_e4"),
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year")
+    )
+    cust = F.broadcast(_t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"))
+    nation = F.broadcast(_t(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .select("n_name", "o_year", "rev_e4")
+    )
+    pivoted = joined.groupBy("n_name").pivot("o_year", PIVOT_YEARS).agg(
+        F.round(F.sum("rev_e4") / 10000.0, 2)
+    )
+    return pivoted.select(
+        "n_name", *[F.col(str(y)).alias(f"y{y}") for y in PIVOT_YEARS]
+    )
+
+
+SQL_PIVOT_REVENUE_YEARS = """
+SELECT n_name, {cells}
+FROM (
+  SELECT n_name, date_part('year', o_orderdate)::INT AS o_year,
+         round(round(l_extendedprice * (1 - l_discount), 4) * 10000)::BIGINT AS rev_e4
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+)
+GROUP BY n_name
+""".format(
+    cells=", ".join(
+        f"round(sum(CASE WHEN o_year = {y} THEN rev_e4 END) / 10000.0, 2) AS y{y}"
+        for y in PIVOT_YEARS
+    )
+)
+
+
 TIMESERIES_QUERIES: dict[str, tuple] = {
     "asof_join_events": (q_asof_join_events, SQL_ASOF_JOIN_EVENTS),
     "rollup_revenue": (q_rollup_revenue, SQL_ROLLUP_REVENUE),
     "group_median_exact": (q_group_median_exact, SQL_GROUP_MEDIAN_EXACT),
     "sliding_window_activity": (q_sliding_window_activity, SQL_SLIDING_WINDOW_ACTIVITY),
+    "gap_fill_interpolate": (q_gap_fill_interpolate, SQL_GAP_FILL_INTERPOLATE),
+    "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
+    "funnel_conversion": (q_funnel_conversion, SQL_FUNNEL_CONVERSION),
+    "pivot_revenue_years": (q_pivot_revenue_years, SQL_PIVOT_REVENUE_YEARS),
 }

@@ -61,3 +61,27 @@ def test_pagerank_matches_python_replay(spark):
     # and some node sits AT the floor only if truly unlinked (none here)
     assert out.max() > 3 * gr.PR_TELEPORT
     assert out.nunique() > n // 4
+
+
+def test_triangle_differential(spark):
+    fn, sql = gr.GRAPH_QUERIES["triangle_count"]
+    got = fn(spark, SF_DIR).toPandas().sort_values("node").reset_index(drop=True)
+    want = (
+        duckdb.sql(sql(sf_of(SF_DIR))).df().sort_values("node").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["node", "n_tri"]].astype("int64"),
+        want[["node", "n_tri"]].astype("int64"),
+    )
+
+
+def test_triangle_known_closure(spark):
+    """K4 (every node in 3 triangles) + a pendant edge (node 5 in none) +
+    deliberate duplicate/reversed/self-loop edges to exercise
+    canonicalization: K4 on {0..3} gives n_tri=3 each; the pendant node
+    never appears."""
+    edges = [(a, b) for a in range(4) for b in range(4) if a != b]  # K4 both dirs
+    edges += [(0, 1), (1, 0), (2, 2), (3, 5)]  # dup, reverse, self-loop, pendant
+    raw = spark.createDataFrame(edges, "src long, dst long")
+    out = gr._triangle_core(raw).toPandas().set_index("node")["n_tri"].to_dict()
+    assert out == {0: 3, 1: 3, 2: 3, 3: 3}

@@ -147,3 +147,99 @@ def test_session_window_builtin_semantics(spark):
     n_builtin = q_session_window_builtin(spark, sf).count()
     n_device = q_event_sessions(spark, sf).count()
     assert n_builtin == n_device
+
+
+def test_funnel_ordering_semantics(spark):
+    """The funnel is ORDERED, not a conditional aggregate: a click before
+    any view must not qualify, a purchase before the first qualified
+    click must not qualify, and equal-timestamp stage pairs resolve by
+    event_id order (lower id sorts first, so a same-et view DOES
+    qualify a click with a higher event_id)."""
+    rows = [
+        # user 1: click(10) before view(20) -> click unqualified; the
+        # click at 30 qualifies; purchase at 25 (< first qual click)
+        # must NOT count, purchase at 40 does.
+        (1, 1, 10, "click"), (1, 2, 20, "view"), (1, 3, 25, "purchase"),
+        (1, 4, 30, "click"), (1, 5, 40, "purchase"),
+        # user 2: view and click at the SAME et; view has lower
+        # event_id so the click qualifies (running window includes it).
+        (2, 10, 100, "view"), (2, 11, 100, "click"), (2, 12, 100, "purchase"),
+        # user 3: purchase only -> reached 0.
+        (3, 20, 5, "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, et long, event_type string"
+    )
+    out = ts._funnel_core(ev).toPandas().set_index("user_id")
+    assert (out.loc[1, "t_view"], out.loc[1, "t_click"], out.loc[1, "t_purchase"]) == (20, 30, 40)
+    assert out.loc[1, "reached"] == 3
+    assert (out.loc[2, "t_view"], out.loc[2, "t_click"], out.loc[2, "t_purchase"]) == (100, 100, 100)
+    assert pd.isna(out.loc[3, "t_view"]) and out.loc[3, "reached"] == 0
+    # independent pandas replay over the real fixture
+    full = ts.q_funnel_conversion(spark, SF_DIR).toPandas().set_index("user_id")
+    raw = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    raw["et"] = (raw["ts"] - pd.Timestamp(0)) // pd.Timedelta(microseconds=1)
+    for uid, g in raw.groupby("user_id"):
+        g = g.sort_values(["et", "event_id"])
+        t_view = t_click = t_purch = None
+        for r in g.itertuples():
+            if r.event_type == "view" and t_view is None:
+                t_view = r.et
+            elif r.event_type == "click" and t_click is None and t_view is not None and r.et >= t_view:
+                t_click = r.et
+            elif r.event_type == "purchase" and t_purch is None and t_click is not None and r.et >= t_click:
+                t_purch = r.et
+        for col, want in (("t_view", t_view), ("t_click", t_click), ("t_purchase", t_purch)):
+            gotv = full.loc[uid, col]
+            assert (pd.isna(gotv) and want is None) or gotv == want, (uid, col)
+
+
+def test_gap_fill_semantics(spark):
+    """The grid is dense (every day between each type's min and max), gap
+    days carry n_events=0 / is_gap / the forward-filled value of the
+    most recent observed day, and observed days carry their own value."""
+    out = ts.q_gap_fill_interpolate(spark, SF_DIR).toPandas()
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    ev["day"] = (ev["ts"].dt.normalize() - pd.Timestamp(0)).dt.days
+    daily = (
+        ev.groupby(["event_type", "day"])
+        .agg(n=("value", "size"), v=("value", lambda s: round(s.sum(), 2)))
+        .reset_index()
+    )
+    for etype, g in out.groupby("event_type"):
+        d = daily[daily.event_type == etype].set_index("day")
+        days = sorted(g["day"])
+        assert days == list(range(min(d.index), max(d.index) + 1))
+        ff = None
+        for row in g.sort_values("day").itertuples():
+            if row.day in d.index:
+                assert not row.is_gap and row.n_events == d.loc[row.day, "n"]
+                ff = d.loc[row.day, "v"]
+                assert row.ff_value == pytest.approx(ff, abs=1e-9)
+            else:
+                assert row.is_gap and row.n_events == 0
+                assert row.ff_value == pytest.approx(ff, abs=1e-9)
+
+
+def test_cohort_retention_consistency(spark):
+    """Week-0 retention is exactly 1.0 for every cohort, no cell exceeds
+    its cohort size, offsets are non-negative, and the week-0 cohort
+    sizes sum to the number of distinct users."""
+    out = ts.q_cohort_retention(spark, SF_DIR).toPandas()
+    wk0 = out[out.week_offset == 0]
+    assert (wk0["retention"] == 1.0).all() and (wk0["n_users"] == wk0["n_cohort"]).all()
+    assert (out["n_users"] <= out["n_cohort"]).all()
+    assert (out["week_offset"] >= 0).all()
+    n_users = pd.read_parquet(f"{SF_DIR}/events.parquet")["user_id"].nunique()
+    assert wk0["n_users"].sum() == n_users
+
+
+def test_pivot_matches_rollup(spark):
+    """The pivot's per-nation row sum equals the rollup's gid=1 nation
+    total — two independent aggregate shapes over the same join."""
+    piv = ts.q_pivot_revenue_years(spark, SF_DIR).toPandas().set_index("n_name")
+    roll = ts.q_rollup_revenue(spark, SF_DIR).toPandas()
+    nat = roll[roll.gid == 1].set_index("n_name")["revenue"]
+    ycols = [c for c in piv.columns if c.startswith("y")]
+    for name in piv.index:
+        assert piv.loc[name, ycols].sum() == pytest.approx(nat.loc[name], abs=0.05)
