@@ -480,3 +480,89 @@ def asof_event_stream(events: DataFrame) -> DataFrame:
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# Stream-stream interval join (purchase <- trailing views within a horizon)
+# --------------------------------------------------------------------------
+
+
+def view_purchase_interval_join(
+    events: DataFrame, horizon_s: int = 3600, late: str = "1 hour"
+) -> DataFrame:
+    """Native stream-stream INNER join: each purchase paired with EVERY
+    view by the same user in the trailing ``horizon_s`` window
+    (purchase_ts - horizon <= view_ts <= purchase_ts) — the attribution
+    fan-out the as-of join collapses to one row.
+
+    Both sides carry event-time watermarks and the join condition has an
+    explicit time range, which is what lets Spark bound state on BOTH
+    sides: a buffered view is evicted once the purchase-side watermark
+    passes view_ts + horizon, a buffered purchase once the view-side
+    watermark passes purchase_ts — so state is (events within the
+    lateness+horizon window), independent of stream length. Without the
+    range condition the planner rejects the join (unbounded state) —
+    the 100 TB failure mode is unplannable by construction, not merely
+    slow. Self-join of one source stream (filtered twice) is the
+    supported stream-stream self-join shape.
+
+    The same plan runs unchanged on a batch frame (watermarks are
+    no-ops), which is how the pytest pins equivalence; gap_s is computed
+    from the raw instants so batch and stream agree bit-exactly."""
+    ev = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+            F.col("value").alias("view_value"),
+        )
+        .withWatermark("view_ts", late)
+    )
+    purch = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", late)
+    )
+    joined = purch.join(
+        views,
+        F.expr(
+            f"""p_user = v_user
+            AND view_ts BETWEEN purchase_ts - INTERVAL {horizon_s} SECONDS
+                            AND purchase_ts"""
+        ),
+    )
+    return joined.select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "view_id",
+        F.unix_micros("purchase_ts").alias("purchase_et"),
+        F.unix_micros("view_ts").alias("view_et"),
+        F.round("view_value", 2).alias("view_value"),
+        (F.unix_micros("purchase_ts") - F.unix_micros("view_ts")).alias("gap_us"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Watermarked streaming exact dedup
+# --------------------------------------------------------------------------
+
+
+def dedup_events_within_watermark(events: DataFrame, late: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup on event_id with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` keeps a seen-key entry only until
+    the event-time watermark passes its timestamp + lateness, so state
+    is (keys in the lateness horizon) rather than every key ever seen —
+    the engine-native form of the Bloom/anti-join cross-batch dedup
+    devices above, correct whenever a duplicate can only trail its
+    first occurrence by less than the lateness bound (a crawl refetch
+    burst, an at-least-once source replay). On a batch frame it
+    degrades to plain dropDuplicates, which is how the pytest pins
+    equivalence."""
+    ev = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return ev.withWatermark("ts", late).dropDuplicatesWithinWatermark(["event_id"])

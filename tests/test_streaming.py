@@ -424,3 +424,111 @@ def test_asof_stream_matches_batch(spark, tmp_path):
     want = want[cols].astype(str).sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want)
     assert len(got) > 0
+
+
+def test_interval_join_stream_matches_batch(spark, tmp_path):
+    """Stream-stream interval join == the identical plan on the batch
+    frame: sf0.001 events split into 3 ts-ordered micro-batches, drained
+    availableNow — every (purchase, trailing-horizon view) pair emits
+    exactly once, including pairs whose two sides arrive in different
+    micro-batches — and equals an independent pandas replay."""
+    import pandas as pd
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")[
+        ["user_id", "event_id", "ts", "event_type", "value"]
+    ].sort_values(["ts", "event_id"])
+    inp = tmp_path / "ssj_in"
+    inp.mkdir()
+    n = len(ev)
+    step = -(-n // 3)
+    for i, lo in enumerate(range(0, n, step)):
+        ev.iloc[lo : lo + step].to_parquet(inp / f"b{i}.parquet", index=False)
+
+    schema = (
+        "user_id long, event_id long, ts timestamp_ntz, "
+        "event_type string, value double"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(inp))
+    )
+    q = (
+        streaming.view_purchase_interval_join(stream)
+        .writeStream.format("memory")
+        .queryName("ssj_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ssj_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {tuple(r) for r in spark.sql("select * from ssj_stream").collect()}
+
+    batch = spark.createDataFrame(ev, schema)
+    want = {tuple(r) for r in streaming.view_purchase_interval_join(batch).collect()}
+    assert got == want and len(got) > 0
+
+    # independent replay: every pair satisfies the interval, and the pair
+    # count per purchase equals the brute-force count.
+    ev["et"] = (ev["ts"] - pd.Timestamp(0)) // pd.Timedelta(microseconds=1)
+    views = ev[ev.event_type == "view"]
+    by_user = {u: list(g["et"]) for u, g in views.groupby("user_id")}
+    brute = 0
+    for r in ev[ev.event_type == "purchase"].itertuples():
+        brute += sum(
+            1
+            for vet in by_user.get(r.user_id, [])
+            if r.et - 3_600_000_000 <= vet <= r.et
+        )
+    assert len(got) == brute
+
+
+def test_dedup_within_watermark_stream(spark, tmp_path):
+    """dropDuplicatesWithinWatermark drops an exact re-send arriving in a
+    LATER micro-batch (within the lateness horizon) and the drained
+    stream equals batch dropDuplicates on event_id."""
+    import datetime as dt
+
+    import pandas as pd
+
+    base = dt.datetime(2024, 1, 1)
+    rows = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "ts": [base, base + dt.timedelta(minutes=5), base + dt.timedelta(minutes=10)],
+            "event_type": ["view", "click", "view"],
+        }
+    )
+    rows["ts"] = rows["ts"].astype("datetime64[us]")
+    inp = tmp_path / "ddw_in"
+    inp.mkdir()
+    rows.to_parquet(inp / "b0.parquet", index=False)
+    # batch 1: event 2 re-sent byte-identically 10 min later (within the
+    # 1 h lateness) plus a fresh event 4.
+    pd.DataFrame(
+        {
+            "event_id": [2, 4],
+            "ts": [base + dt.timedelta(minutes=5), base + dt.timedelta(minutes=20)],
+            "event_type": ["click", "purchase"],
+        }
+    ).astype({"ts": "datetime64[us]"}).to_parquet(inp / "b1.parquet", index=False)
+
+    schema = "event_id long, ts timestamp_ntz, event_type string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(inp))
+    )
+    q = (
+        streaming.dedup_events_within_watermark(stream)
+        .writeStream.format("memory")
+        .queryName("ddw_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ddw_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r.event_id for r in spark.sql("select * from ddw_stream").collect())
+    assert got == [1, 2, 3, 4]
