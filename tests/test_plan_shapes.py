@@ -210,3 +210,72 @@ def test_salted_join_sortmerge_on_salted_key(spark):
         if "SortMergeJoin" in ln:
             assert "salt" in ln, ln
     assert "CartesianProduct" not in p
+
+
+def test_funnel_single_exchange(spark):
+    """The ordered funnel's two chained running windows and the final
+    per-user aggregate must all reuse ONE exchange on user_id — no
+    per-stage self-joins, no second shuffle."""
+    from pdf_parser_spark.timeseries import q_funnel_conversion
+
+    p = _plan(q_funnel_conversion(spark, SF_DIR))
+    assert p.count("Exchange") == 1
+    assert "Join" not in p
+
+
+def test_gap_fill_window_on_grid_not_events(spark):
+    """gap_fill's forward-fill window must consume the joined grid, and
+    the daily collapse must partially aggregate map-side — no window
+    directly over raw events."""
+    from pdf_parser_spark.timeseries import q_gap_fill_interpolate
+
+    p = _plan(q_gap_fill_interpolate(spark, SF_DIR))
+    assert "partial_count" in p  # daily aggregate combines map-side
+    assert "Generate explode" in p  # the sequence() grid
+    assert "CartesianProduct" not in p
+
+
+def test_pivot_is_single_aggregate_no_discovery_scan(spark):
+    """The explicit-values pivot must plan as ONE aggregate over the
+    join (7 conditional sums) with the dims broadcast; an implicit
+    pivot would add a distinct column-discovery pass (a separate
+    collect job, invisible in this plan but its Expand/aggregate shape
+    is not) — pin: no Expand, exactly one grouping aggregate pair."""
+    from pdf_parser_spark.timeseries import q_pivot_revenue_years
+
+    p = _plan(q_pivot_revenue_years(spark, SF_DIR))
+    assert "Expand" not in p
+    assert p.count("BroadcastHashJoin") >= 2  # customer + nation dims
+    assert "partial_sum" in p
+
+
+def test_top_k_per_group_pushes_group_limit(spark):
+    """Grouped top-k must carry Spark's WindowGroupLimit so no partition
+    buffers more than k rows per group through the sort."""
+    from pdf_parser_spark.ir import q_top_docs_per_source
+
+    p = _plan(q_top_docs_per_source(spark, SF_DIR))
+    assert "WindowGroupLimit" in p
+    assert p.count("Exchange") == 1
+
+
+def test_bm25_stats_broadcast(spark):
+    """BM25's df/(N, avgdl) statistics join the tf frame as broadcasts —
+    the corpus-side tf aggregate is the only wide shuffle."""
+    from pdf_parser_spark.ir import q_bm25_search
+
+    p = _plan(q_bm25_search(spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p  # the 1-row stats crossJoin
+
+
+def test_triangle_no_cartesian(spark):
+    """Triangle enumeration is two equi-joins + one aggregate — a
+    cartesian/nested-loop anywhere means the wedge join degenerated."""
+    from pdf_parser_spark.graph import q_triangle_count
+
+    p = _plan(q_triangle_count(spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "partial_count" in p
