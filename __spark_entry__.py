@@ -55,6 +55,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries into the tail (31 total), every one re-verified in
 # CORRECTNESS_SUPPLEMENT_r03.json.
 _OVERFLOW_TAIL = [
+    # displaced for scd2_merge: session_window_builtin is round-3,
+    # supplement-verified, and additionally pinned by a dedicated
+    # boundary-semantics pytest plus its event_sessions twin (green in
+    # r1 AND r2 driver artifacts).
+    "session_window_builtin",
     # displaced for the round-3 IR suite (inverted_index, bm25_search,
     # fuzzy_token_join, top_docs_per_source): all four below were
     # verified by the r2 judge's own identical-check run (VERDICT.md)

@@ -528,8 +528,114 @@ FROM direct LEFT JOIN cdc USING (grp)
 """
 
 
+# --------------------------------------------------------------------------
+# scd2_merge — versioned (type-2) dimension build from two snapshots
+# --------------------------------------------------------------------------
+
+
+def q_scd2_merge(spark, sf_dir):
+    """Slowly-changing-dimension type 2: merge the new snapshot into a
+    versioned history. Per doc_id: an unchanged doc keeps one open row
+    (valid_from=1); a modified doc closes its prior row (valid_to=2)
+    and opens a new one; a deleted doc closes with no successor; an
+    added doc opens at 2. This is the MERGE-INTO-with-history pattern a
+    warehouse runs per snapshot roll, expressed engine-agnostically.
+
+    Shape: ONE full-outer join of the slim (doc_id, md5) frames — the
+    same 32-bytes-per-row exchange as snapshot_diff — then each joined
+    row fans out to its ≤2 version rows via an in-row
+    array→filter→explode (no union re-scanning the join, no second
+    shuffle). At 10^12 rows the history table is partitioned by
+    is_current so the open set (the only side the next merge reads)
+    prunes to one partition."""
+    docs = _snaps(spark, sf_dir)
+    slim = docs.select("snap", "doc_id", F.md5("text").alias("h"))
+    prior = slim.filter(F.col("snap") == "prior").select(
+        "doc_id", F.col("h").alias("p_h")
+    )
+    new = slim.filter(F.col("snap") == "new").select(
+        "doc_id", F.col("h").alias("n_h")
+    )
+    j = prior.join(new, "doc_id", "full_outer")
+    changed = F.col("p_h").isNotNull() & (
+        F.col("n_h").isNull() | (F.col("n_h") != F.col("p_h"))
+    )
+    unchanged = (
+        F.col("p_h").isNotNull()
+        & F.col("n_h").isNotNull()
+        & (F.col("p_h") == F.col("n_h"))
+    )
+    opened = F.col("n_h").isNotNull() & (
+        F.col("p_h").isNull() | (F.col("n_h") != F.col("p_h"))
+    )
+    rows = F.array(
+        F.when(
+            changed,
+            F.struct(
+                F.col("p_h").alias("h"),
+                F.lit(1).alias("valid_from"),
+                F.lit(2).alias("valid_to"),
+                F.lit(False).alias("is_current"),
+            ),
+        ),
+        F.when(
+            unchanged,
+            F.struct(
+                F.col("p_h").alias("h"),
+                F.lit(1).alias("valid_from"),
+                F.lit(None).cast("int").alias("valid_to"),
+                F.lit(True).alias("is_current"),
+            ),
+        ),
+        F.when(
+            opened,
+            F.struct(
+                F.col("n_h").alias("h"),
+                F.lit(2).alias("valid_from"),
+                F.lit(None).cast("int").alias("valid_to"),
+                F.lit(True).alias("is_current"),
+            ),
+        ),
+    )
+    return (
+        j.select(
+            "doc_id",
+            F.explode(F.filter(rows, lambda x: x.isNotNull())).alias("v"),
+        )
+        .select(
+            "doc_id",
+            F.col("v.h").alias("h"),
+            F.col("v.valid_from").alias("valid_from"),
+            F.col("v.valid_to").alias("valid_to"),
+            F.col("v.is_current").alias("is_current"),
+        )
+    )
+
+
+def _sql_scd2_merge(sf: str) -> str:
+    ensure_snap_corpus(sf)
+    return f"""
+WITH s AS (SELECT snap, doc_id, md5(text) AS h
+           FROM read_parquet('{snap_path(sf)}')),
+p AS (SELECT doc_id, h AS p_h FROM s WHERE snap = 'prior'),
+n AS (SELECT doc_id, h AS n_h FROM s WHERE snap = 'new'),
+j AS (SELECT COALESCE(p.doc_id, n.doc_id) AS doc_id, p_h, n_h
+      FROM p FULL OUTER JOIN n ON p.doc_id = n.doc_id)
+SELECT doc_id, p_h AS h, 1 AS valid_from, 2 AS valid_to,
+       false AS is_current
+FROM j WHERE p_h IS NOT NULL AND (n_h IS NULL OR n_h <> p_h)
+UNION ALL
+SELECT doc_id, p_h, 1, NULL, true
+FROM j WHERE p_h IS NOT NULL AND n_h = p_h
+UNION ALL
+SELECT doc_id, n_h, 2, NULL, true
+FROM j WHERE n_h IS NOT NULL AND (p_h IS NULL OR n_h <> p_h)
+"""
+
+
 SNAPSHOT_QUERIES = {
     "bloom_dedup": (q_bloom_dedup, _sql_bloom_dedup),
     "snapshot_diff": (q_snapshot_diff, _sql_snapshot_diff),
     "ivm_source_counts": (q_ivm_source_counts, _sql_ivm_source_counts),
+    "scd2_merge": (q_scd2_merge, _sql_scd2_merge),
 }

@@ -566,3 +566,52 @@ def dedup_events_within_watermark(events: DataFrame, late: str = "1 hour") -> Da
     equivalence."""
     ev = events.withColumn("ts", F.col("ts").cast("timestamp"))
     return ev.withWatermark("ts", late).dropDuplicatesWithinWatermark(["event_id"])
+
+
+# --------------------------------------------------------------------------
+# Exactly-once aggregate sink (idempotent foreachBatch commit protocol)
+# --------------------------------------------------------------------------
+
+
+def exactly_once_counts_writer(out_root: str):
+    """foreachBatch writer implementing the idempotent-commit protocol
+    that turns Structured Streaming's at-least-once batch replay into an
+    exactly-once aggregate sink: each micro-batch's partial per-type
+    aggregate lands at ``batch=<batchId>/`` and a REPLAYED batchId
+    (post-crash re-delivery with the same id, the documented
+    foreachBatch contract) is a NO-OP if the commit marker exists —
+    re-running a batch can never double-count. This is the same
+    batchId-keyed transactionality an Iceberg/Delta sink gets from
+    recording batchId in the snapshot summary; plain parquet + the
+    _SUCCESS marker expresses it engine-agnostically. Partial
+    aggregates (not raw rows) are what lands, so the reader's merge is
+    a sum over n_batches x n_types rows, never a rescan."""
+
+    def write(df: DataFrame, batch_id: int) -> None:
+        path = os.path.join(out_root, f"batch={batch_id}")
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            return  # replayed batch: already committed, exactly-once no-op
+        (
+            df.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("value").alias("sum_value"),
+            )
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+
+    return write
+
+
+def read_exactly_once_counts(spark: SparkSession, out_root: str) -> DataFrame:
+    """Merge the per-batch partial aggregates into the final per-type
+    totals (count-sum partials are mergeable by construction)."""
+    return (
+        spark.read.parquet(f"{out_root}/batch=*")
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.round(F.sum("sum_value"), 2).alias("sum_value"),
+        )
+    )

@@ -23,7 +23,7 @@ def _assert_equal(spark_df, duck_df):
     pd.testing.assert_frame_equal(a, b)
 
 
-@pytest.mark.parametrize("name", ["bloom_dedup", "snapshot_diff"])
+@pytest.mark.parametrize("name", ["bloom_dedup", "snapshot_diff", "scd2_merge"])
 def test_differential(spark, name):
     fn, sql = sn.SNAPSHOT_QUERIES[name]
     _assert_equal(fn(spark, SF_DIR), duckdb.sql(sql(sf_of(SF_DIR))).df())
@@ -145,3 +145,34 @@ def test_ivm_differential_and_reconciliation(spark):
     assert out["n_added"].sum() > 0
     assert out["n_deleted"].sum() > 0
     assert out["n_modified"].sum() > 0
+
+
+def test_scd2_version_semantics(spark):
+    """SCD2 rows reconcile exactly with the CDC statuses: unchanged ->
+    one open row from 1; modified -> closed prior + open new (different
+    hashes); deleted -> closed prior only; added -> open new only.
+    Exactly one current row per doc that exists in the new snapshot,
+    zero for deleted docs; every closed row has valid_to=2."""
+    scd = sn.q_scd2_merge(spark, SF_DIR).toPandas()
+    diff = (
+        sn.q_snapshot_diff(spark, SF_DIR)
+        .toPandas()
+        .set_index("doc_id")["status"]
+    )
+    assert not scd[scd.is_current]["valid_to"].notna().any()
+    assert (scd[~scd.is_current]["valid_to"] == 2).all()
+    for doc_id, g in scd.groupby("doc_id"):
+        st = diff.loc[doc_id]
+        cur = g[g.is_current]
+        closed = g[~g.is_current]
+        if st == "unchanged":
+            assert len(g) == 1 and len(cur) == 1 and cur.iloc[0]["valid_from"] == 1
+        elif st == "modified":
+            assert len(closed) == 1 and len(cur) == 1
+            assert closed.iloc[0]["h"] != cur.iloc[0]["h"]
+            assert cur.iloc[0]["valid_from"] == 2
+        elif st == "deleted":
+            assert len(g) == 1 and len(cur) == 0
+        else:  # added
+            assert len(g) == 1 and len(cur) == 1 and cur.iloc[0]["valid_from"] == 2
+    assert set(diff.index) == set(scd["doc_id"])

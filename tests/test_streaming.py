@@ -532,3 +532,74 @@ def test_dedup_within_watermark_stream(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(r.event_id for r in spark.sql("select * from ddw_stream").collect())
     assert got == [1, 2, 3, 4]
+
+
+def test_exactly_once_sink_replay_and_restart(spark, tmp_path):
+    """The idempotent foreachBatch sink: (1) a drained stream's merged
+    totals equal the batch aggregate; (2) REPLAYING a committed batchId
+    (the post-crash at-least-once contract) is a no-op — totals
+    unchanged; (3) a restart with new input appends exactly the new
+    batch and converges to the batch aggregate over the union."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")[
+        ["event_id", "ts", "event_type", "value"]
+    ]
+    inp = tmp_path / "eo_in"
+    inp.mkdir()
+    n = len(ev)
+    step = -(-n // 3)
+    for i, lo in enumerate(range(0, n, step)):
+        ev.iloc[lo : lo + step].to_parquet(inp / f"b{i}.parquet", index=False)
+    out_root = str(tmp_path / "eo_out")
+    ckpt = str(tmp_path / "eo_ckpt")
+    schema = "event_id long, ts timestamp_ntz, event_type string, value double"
+
+    def drain():
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(inp))
+            .writeStream.foreachBatch(streaming.exactly_once_counts_writer(out_root))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    def totals():
+        return {
+            r.event_type: (r.n_events, r.sum_value)
+            for r in streaming.read_exactly_once_counts(spark, out_root).collect()
+        }
+
+    def batch_truth(pdf):
+        sdf = spark.createDataFrame(pdf, schema)
+        return {
+            r.event_type: (r.n_events, r.sum_value)
+            for r in sdf.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 2).alias("sum_value"),
+            )
+            .collect()
+        }
+
+    drain()
+    got1 = totals()
+    assert got1 == batch_truth(ev)
+
+    # replay batch 0 with the SAME id (simulated crash re-delivery):
+    # the commit marker makes it a no-op even with different data.
+    writer = streaming.exactly_once_counts_writer(out_root)
+    writer(spark.createDataFrame(ev, schema), 0)
+    assert totals() == got1
+
+    # restart with a NEW file: only the new batch lands.
+    extra = ev.copy()
+    extra["event_id"] = extra["event_id"] + 1_000_000
+    extra.to_parquet(inp / "b9.parquet", index=False)
+    drain()
+    want = batch_truth(pd.concat([ev, extra], ignore_index=True))
+    assert totals() == want
