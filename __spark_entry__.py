@@ -20,6 +20,7 @@ from pdf_parser_spark import driver_contract
 from pdf_parser_spark.analytics import ANALYTIC_QUERIES
 from pdf_parser_spark.boilerplate import BOILERPLATE_QUERIES
 from pdf_parser_spark.datapipe import DATAPIPE_QUERIES
+from pdf_parser_spark.layout import LAYOUT_QUERIES
 from pdf_parser_spark.lm_filter import LM_QUERIES
 from pdf_parser_spark.bpe import BPE_QUERIES
 from pdf_parser_spark.graph import GRAPH_QUERIES
@@ -55,6 +56,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries into the tail (31 total), every one re-verified in
 # CORRECTNESS_SUPPLEMENT_r03.json.
 _OVERFLOW_TAIL = [
+    # displaced for cube_revenue / zorder_layout: both round-3,
+    # supplement-verified, each also pinned by a dedicated pytest
+    # (salted_join by a plan-shape pin, hist_quantiles by the sketch
+    # error-band test).
+    "salted_join",
+    "hist_quantiles",
     # displaced for scd2_merge: session_window_builtin is round-3,
     # supplement-verified, and additionally pinned by a dedicated
     # boundary-semantics pytest plus its event_sessions twin (green in
@@ -159,6 +166,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out[name] = fn
     for name, (fn, _sql) in IR_QUERIES.items():
         out[name] = fn
+    for name, (fn, _sql) in LAYOUT_QUERIES.items():
+        out[name] = fn
     for name, (fn, _sql) in SKETCH_QUERIES.items():
         out[name] = fn
     for name, (fn, _sql) in GRAPH_QUERIES.items():
@@ -197,6 +206,8 @@ def oracle_sql() -> dict[str, str]:
     for name, (_fn, sql) in TIMESERIES_QUERIES.items():
         out[name] = sql if isinstance(sql, str) else sql(correctness_sf)
     for name, (_fn, sql) in IR_QUERIES.items():
+        out[name] = sql if isinstance(sql, str) else sql(correctness_sf)
+    for name, (_fn, sql) in LAYOUT_QUERIES.items():
         out[name] = sql if isinstance(sql, str) else sql(correctness_sf)
     for name, (_fn, sql) in SKETCH_QUERIES.items():
         out[name] = sql if isinstance(sql, str) else sql(correctness_sf)

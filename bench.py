@@ -165,9 +165,11 @@ def main() -> None:
 
     from pdf_parser_spark.timeseries import TIMESERIES_QUERIES
     from pdf_parser_spark.ir import IR_QUERIES
+    from pdf_parser_spark.layout import LAYOUT_QUERIES
 
     all_queries.update(TIMESERIES_QUERIES)
     all_queries.update(IR_QUERIES)
+    all_queries.update(LAYOUT_QUERIES)
     for name, (fn, _sql) in all_queries.items():
         if wanted is not None and name not in wanted:
             continue

@@ -552,6 +552,61 @@ GROUP BY n_name
 )
 
 
+# --------------------------------------------------------------------------
+# CUBE: all four grouping sets in one pass
+# --------------------------------------------------------------------------
+
+
+def q_cube_revenue(spark, sf_dir):
+    """CUBE(nation, year): the (nation, year) cells, BOTH one-dimension
+    marginals, and the grand total in one aggregate — the rollup's
+    missing year-only marginal is exactly what CUBE adds. Catalyst
+    plans Expand x4 + ONE grouped exchange with map-side partials, vs
+    four groupBys re-reading the join; same integer ten-thousandths
+    exactness as rollup_revenue."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.round(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4) * 10000)
+        .cast("long")
+        .alias("rev_e4"),
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year")
+    )
+    cust = F.broadcast(_t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"))
+    nation = F.broadcast(_t(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .select("n_name", "o_year", "rev_e4")
+    )
+    return (
+        joined.cube("n_name", "o_year")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.round(F.sum("rev_e4") / 10000.0, 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select("gid", "n_name", "o_year", "revenue", "n_items")
+    )
+
+
+SQL_CUBE_REVENUE = """
+SELECT GROUPING(n_name, o_year)::BIGINT AS gid, n_name, o_year,
+       round(sum(rev_e4) / 10000.0, 2) AS revenue, count(*)::BIGINT AS n_items
+FROM (
+  SELECT n_name, date_part('year', o_orderdate)::INT AS o_year,
+         round(round(l_extendedprice * (1 - l_discount), 4) * 10000)::BIGINT AS rev_e4
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+)
+GROUP BY CUBE(n_name, o_year)
+"""
+
+
 TIMESERIES_QUERIES: dict[str, tuple] = {
     "asof_join_events": (q_asof_join_events, SQL_ASOF_JOIN_EVENTS),
     "rollup_revenue": (q_rollup_revenue, SQL_ROLLUP_REVENUE),
@@ -561,4 +616,5 @@ TIMESERIES_QUERIES: dict[str, tuple] = {
     "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
     "funnel_conversion": (q_funnel_conversion, SQL_FUNNEL_CONVERSION),
     "pivot_revenue_years": (q_pivot_revenue_years, SQL_PIVOT_REVENUE_YEARS),
+    "cube_revenue": (q_cube_revenue, SQL_CUBE_REVENUE),
 }

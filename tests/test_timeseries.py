@@ -243,3 +243,21 @@ def test_pivot_matches_rollup(spark):
     ycols = [c for c in piv.columns if c.startswith("y")]
     for name in piv.index:
         assert piv.loc[name, ycols].sum() == pytest.approx(nat.loc[name], abs=0.05)
+
+
+def test_cube_adds_year_marginal_consistently(spark):
+    """CUBE = ROLLUP + the year-only marginal: the shared grouping sets
+    match rollup exactly, and the year marginals (gid=2) sum the
+    (nation, year) cells per year for both revenue and counts."""
+    cube = ts.q_cube_revenue(spark, SF_DIR).toPandas()
+    roll = ts.q_rollup_revenue(spark, SF_DIR).toPandas()
+    key = ["gid", "n_name", "o_year"]
+    shared = cube[cube.gid.isin([0, 1, 3])]
+    a = shared.sort_values(key).reset_index(drop=True).astype(str)
+    b = roll.sort_values(key).reset_index(drop=True).astype(str)
+    pd.testing.assert_frame_equal(a[b.columns], b)
+    cells = cube[cube.gid == 0]
+    for year, m in cube[cube.gid == 2].set_index("o_year").iterrows():
+        g = cells[cells.o_year == year]
+        assert m["n_items"] == g["n_items"].sum()
+        assert abs(m["revenue"] - g["revenue"].sum()) < 0.05
