@@ -61,3 +61,41 @@ def test_asof_two_engine_differential(spark, events):
     pd.testing.assert_frame_equal(
         got[cols].astype(str), want[cols].astype(str)
     )
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(_EVENT, min_size=1, max_size=30))
+def test_funnel_two_engine_differential(spark, events):
+    """The ordered funnel's sequencing is resolved through a shared
+    (et, event_id) window order, so equal-timestamp stage collisions —
+    view/click/purchase at the same instant, in any event_id order —
+    must produce identical stage times in both engines. The fixture
+    never collides timestamps; fuzz makes collisions the norm."""
+    from pdf_parser_spark.timeseries import SQL_FUNNEL_CONVERSION, _funnel_core
+
+    rows = [(u, i, et, typ) for i, (u, et, typ, _q) in enumerate(events)]
+    sdf = spark.createDataFrame(
+        rows, "user_id long, event_id long, et long, event_type string"
+    )
+    got = (
+        _funnel_core(sdf)
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    pdf = pd.DataFrame(rows, columns=["user_id", "event_id", "et", "event_type"])
+    pdf["ts"] = pd.to_datetime(pdf["et"], unit="us")
+    con = duckdb.connect()
+    con.register("events", pdf[["user_id", "event_id", "ts", "event_type"]])
+    want = (
+        con.execute(SQL_FUNNEL_CONVERSION)
+        .fetchdf()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    cols = sorted(want.columns)
+    pd.testing.assert_frame_equal(got[cols].astype(str), want[cols].astype(str))
