@@ -615,3 +615,28 @@ def read_exactly_once_counts(spark: SparkSession, out_root: str) -> DataFrame:
             F.round(F.sum("sum_value"), 2).alias("sum_value"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Complete-mode streaming top-k
+# --------------------------------------------------------------------------
+
+
+def top_users_stream(events: DataFrame, k: int = 5) -> DataFrame:
+    """Streaming leaderboard: the top-k users by event count (value sum
+    as tie-audit), maintained in COMPLETE output mode — the one mode
+    where a global sort+limit is a legal streaming plan, because the
+    sink rewrites the whole (k-row) result each trigger. State is the
+    per-user running aggregate (users, not events); the sort runs over
+    that aggregate's output, so the per-trigger cost is state-size
+    log k, never stream-length. The same plan on a batch frame is the
+    plain grouped top-k, which is how the pytest pins equivalence.
+    Deterministic tie-break on user_id keeps the k-row result stable
+    across engines and triggers."""
+    counts = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    return counts.orderBy(
+        F.col("n_events").desc(), F.col("user_id")
+    ).limit(k)

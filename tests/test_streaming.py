@@ -603,3 +603,47 @@ def test_exactly_once_sink_replay_and_restart(spark, tmp_path):
     drain()
     want = batch_truth(pd.concat([ev, extra], ignore_index=True))
     assert totals() == want
+
+
+def test_top_users_stream_complete_mode(spark, tmp_path):
+    """Complete-mode leaderboard: after an availableNow drain over 3
+    micro-batches, the memory sink holds exactly the batch top-k (the
+    final rewrite), including the deterministic tie-break."""
+    import pandas as pd
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")[
+        ["event_id", "ts", "user_id", "event_type", "value"]
+    ]
+    inp = tmp_path / "topk_in"
+    inp.mkdir()
+    n = len(ev)
+    step = -(-n // 3)
+    for i, lo in enumerate(range(0, n, step)):
+        ev.iloc[lo : lo + step].to_parquet(inp / f"b{i}.parquet", index=False)
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(inp))
+    )
+    q = (
+        streaming.top_users_stream(stream)
+        .writeStream.format("memory")
+        .queryName("topk_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "topk_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = [tuple(r) for r in spark.sql("select * from topk_stream").collect()]
+    want = [
+        tuple(r)
+        for r in streaming.top_users_stream(
+            spark.createDataFrame(ev, schema)
+        ).collect()
+    ]
+    assert got == want and len(got) == 5
