@@ -127,6 +127,55 @@ FROM agg
 """
 
 
+# --------------------------------------------------------------------------
+# Bucketed tables: the shuffle-free co-located join
+# --------------------------------------------------------------------------
+
+
+def write_bucketed(
+    df: DataFrame, name: str, path: str, key: str, n_buckets: int
+) -> None:
+    """Persist ``df`` as a bucketed+sorted external table: rows are
+    hash-partitioned into ``n_buckets`` files by ``key`` at WRITE time,
+    each bucket sorted on the key. Two tables bucketed the same way
+    join with ZERO exchange — the shuffle is paid once at ingest and
+    amortized over every subsequent join, which at 10^12 rows is the
+    difference between re-shuffling the fact table per query and never
+    shuffling it again. (On a cluster this is the same contract as
+    Iceberg's bucket partition transform.) A residual per-partition
+    Sort remains in the join plan: Spark 3+ no longer trusts write-time
+    sort order at scan (the legacy
+    ``spark.sql.legacy.bucketedTableScan.outputOrdering`` flag restores
+    it); the sort runs over one pre-sorted bucket file per task —
+    linear-ish and spill-free — while the eliminated Exchange was the
+    O(corpus) network cost. ``bucketBy`` requires the table API; the
+    explicit ``path`` keeps the data in the caller's directory rather
+    than the session warehouse."""
+    (
+        # repartition on the SAME hash as bucketBy so every bucket is
+        # written by exactly one task -> one file per bucket, which is
+        # the precondition for Spark to trust sortBy at scan time and
+        # drop the join-side Sort as well as the Exchange.
+        df.repartition(n_buckets, F.col(key))
+        .write.bucketBy(n_buckets, key)
+        .sortBy(key)
+        .option("path", path)
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(name)
+    )
+
+
+def bucketed_join(spark, left_name: str, right_name: str, key: str) -> DataFrame:
+    """Equi-join two same-bucketed tables; the ``merge`` hint pins the
+    sort-merge strategy so the plan's shape (no Exchange, no Sort below
+    the join — the buckets are pre-sorted) is the bucketing win, not a
+    broadcast hiding it."""
+    left = spark.table(left_name).hint("merge")
+    right = spark.table(right_name)
+    return left.join(right, key)
+
+
 LAYOUT_QUERIES = {
     "zorder_layout": (q_zorder_layout, _sql_zorder_layout),
 }

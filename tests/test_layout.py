@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import duckdb
 import pandas as pd
+from pyspark.sql import functions as F
 
 from pdf_parser_spark import layout as lo
 
@@ -50,3 +51,30 @@ def test_zorder_prunes_more_than_xrange(spark):
     assert ((z["y_max"] - z["y_min"]) <= 3).all()
     # xrange stripes span the full y extent wherever data exists densely
     assert ((x["y_max"] - x["y_min"]) > 3).any()
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed+sorted on the join key must join with ZERO
+    Exchange (the shuffle was paid at write time), reading all buckets
+    co-located; the join result must equal the plain shuffled join."""
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderdate"
+    )
+    lo.write_bucketed(li, "t_li_b", str(tmp_path / "li"), "l_orderkey", 8)
+    lo.write_bucketed(orders, "t_ord_b", str(tmp_path / "ord"), "l_orderkey", 8)
+    try:
+        joined = lo.bucketed_join(spark, "t_li_b", "t_ord_b", "l_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert plan.count("Bucketed: true") == 2
+        assert plan.count("SelectedBucketsCount: 8 out of 8") == 2
+        got = joined.count()
+        want = li.join(orders, "l_orderkey").count()
+        assert got == want > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_li_b")
+        spark.sql("DROP TABLE IF EXISTS t_ord_b")
