@@ -56,6 +56,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries into the tail (31 total), every one re-verified in
 # CORRECTNESS_SUPPLEMENT_r03.json.
 _OVERFLOW_TAIL = [
+    # displaced for embedding_covariance: cms_heavy_hitters is round-3,
+    # supplement-verified, with a dedicated one-sided-error pytest.
+    "cms_heavy_hitters",
     # displaced for cube_revenue / zorder_layout: both round-3,
     # supplement-verified, each also pinned by a dedicated pytest
     # (salted_join by a plan-shape pin, hist_quantiles by the sketch

@@ -314,8 +314,91 @@ FROM est JOIN exact USING (source)
 """
 
 
+# --------------------------------------------------------------------------
+# Distributed covariance (moment sketch) over the embedding matrix
+# --------------------------------------------------------------------------
+
+COV_DIM = 64
+
+
+def q_embedding_covariance(spark, sf_dir):
+    """Sample covariance matrix of the 64-dim embedding corpus as a
+    one-pass MOMENT AGGREGATION — the PCA/whitening prep step of an
+    embedding pipeline, and itself a mergeable sketch: the sufficient
+    statistics (n, per-dim sums, pairwise product sums) combine
+    map-side like any sum, so the full pass over 10^12 vectors is one
+    aggregate exchange of dim^2/2 doubles per task, never a second
+    (centered) scan.
+
+    Shape: pairs are generated IN-ROW (transform+slice upper triangle,
+    flatten, explode — 2080 rows/vector), then ONE hash aggregate on
+    (i, j); per-dim sums ride the diagonal's j=i rows back via a
+    64-row broadcast self-join. Products are computed in f64 from the
+    exactly-widened f32 inputs in BOTH engines, so only summation
+    order differs and round(.., 6) absorbs it."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = emb.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(embedding, (x, i) ->"
+                " transform(slice(embedding, i + 1, size(embedding) - i),"
+                "           (y, k) -> struct(i AS i, i + k AS j,"
+                "             CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS p))))"
+            )
+        ).alias("e")
+    ).select("e.i", "e.j", "e.p")
+    moments = pairs.groupBy("i", "j").agg(
+        F.sum("p").alias("s_ij"), F.count(F.lit(1)).alias("n")
+    )
+    dims = (
+        emb.select(
+            F.posexplode(F.col("embedding")).alias("i", "x")
+        )
+        .groupBy("i")
+        .agg(F.sum(F.col("x").cast("double")).alias("s"))
+    )
+    d1 = F.broadcast(dims.select(F.col("i").alias("i"), F.col("s").alias("s_i")))
+    d2 = F.broadcast(dims.select(F.col("i").alias("j"), F.col("s").alias("s_j")))
+    return (
+        moments.join(d1, "i")
+        .join(d2, "j")
+        .select(
+            "i",
+            "j",
+            F.round(
+                (F.col("s_ij") - F.col("s_i") * F.col("s_j") / F.col("n"))
+                / (F.col("n") - 1),
+                6,
+            ).alias("cov"),
+        )
+    )
+
+
+SQL_EMBEDDING_COVARIANCE = f"""
+WITH idx AS (SELECT unnest(generate_series(1, {COV_DIM})) AS i),
+pairs AS (
+  SELECT i.i - 1 AS i, j.i - 1 AS j,
+         sum(CAST(e.embedding[i.i] AS DOUBLE)
+             * CAST(e.embedding[j.i] AS DOUBLE)) AS s_ij,
+         count(*)::BIGINT AS n
+  FROM embeddings e, idx i, idx j
+  WHERE j.i >= i.i
+  GROUP BY 1, 2
+), dims AS (
+  SELECT i.i - 1 AS i, sum(CAST(e.embedding[i.i] AS DOUBLE)) AS s
+  FROM embeddings e, idx i GROUP BY 1
+)
+SELECT p.i, p.j,
+       round((p.s_ij - d1.s * d2.s / p.n) / (p.n - 1), 6) AS cov
+FROM pairs p
+JOIN dims d1 ON p.i = d1.i
+JOIN dims d2 ON p.j = d2.i
+"""
+
+
 SKETCH_QUERIES = {
     "cms_heavy_hitters": (q_cms_heavy_hitters, SQL_CMS_HEAVY_HITTERS),
     "hll_distinct": (q_hll_distinct, SQL_HLL_DISTINCT),
     "hist_quantiles": (q_hist_quantiles, SQL_HIST_QUANTILES),
+    "embedding_covariance": (q_embedding_covariance, SQL_EMBEDDING_COVARIANCE),
 }

@@ -142,3 +142,25 @@ def test_hist_quantile_error_bounded_by_bucket(spark):
         assert abs(row.est_p50 - exact) <= width  # one-bucket bound
         assert row.n_docs == len(g)
     assert (out["abs_err"] > 0).any()  # the estimate is genuinely approximate
+
+
+def test_embedding_covariance_matches_numpy(spark):
+    """The moment-sketch covariance equals numpy's two-pass sample
+    covariance (ddof=1) on the densified matrix, for every upper-
+    triangle cell."""
+    import numpy as np
+    import pandas as pd
+
+    from pdf_parser_spark.sketches import q_embedding_covariance
+
+    out = (
+        q_embedding_covariance(spark, "/root/testdata/sf0.001")
+        .toPandas()
+        .set_index(["i", "j"])["cov"]
+    )
+    emb = pd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    m = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    cov = np.cov(m, rowvar=False, ddof=1)
+    assert len(out) == 64 * 65 // 2
+    for (i, j), v in out.items():
+        assert v == pytest.approx(round(float(cov[i, j]), 6), abs=2e-6)
