@@ -607,6 +607,67 @@ GROUP BY CUBE(n_name, o_year)
 """
 
 
+# --------------------------------------------------------------------------
+# Robust outlier flagging: median absolute deviation per group
+# --------------------------------------------------------------------------
+
+MAD_K = 3.0
+
+
+def q_outlier_mad(spark, sf_dir):
+    """Per-source robust outlier flags on document length: a doc is an
+    outlier when |n_chars - median| > 3 * MAD (the median absolute
+    deviation) — the data-cleaning gate that, unlike mean/stddev
+    z-scores, is not itself dragged by the outliers it hunts.
+
+    Shape: two grouped exact-percentile aggregates on the SAME key
+    (source) — first the median, then (after a broadcast join back of
+    the 20-row median frame) the MAD — then a broadcast join of the
+    20-row (median, mad) frame onto the scan for the per-doc flag.
+    Three narrow passes, no window over the corpus; at 100 TB both
+    medians become ``approx_percentile`` (mergeable sketch, same
+    plan). MAD=0 groups (constant length) flag any deviation, matching
+    the oracle's arithmetic exactly. Emits only flagged docs plus the
+    per-source stats they were judged by."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    med = docs.groupBy("source").agg(
+        F.expr("percentile(n_chars, 0.5D)").alias("med")
+    )
+    dev = docs.join(F.broadcast(med), "source").select(
+        "source", F.abs(F.col("n_chars") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("source").agg(
+        F.expr("percentile(adev, 0.5D)").alias("mad")
+    )
+    stats = F.broadcast(med.join(mad, "source"))
+    return (
+        docs.join(stats, "source")
+        .where(F.abs(F.col("n_chars") - F.col("med")) > MAD_K * F.col("mad"))
+        .select(
+            "source",
+            "doc_id",
+            "n_chars",
+            F.round("med", 4).alias("med"),
+            F.round("mad", 4).alias("mad"),
+        )
+    )
+
+
+SQL_OUTLIER_MAD = f"""
+WITH med AS (
+  SELECT source, quantile_cont(n_chars, 0.5) AS med
+  FROM documents GROUP BY source
+), mad AS (
+  SELECT d.source, quantile_cont(abs(d.n_chars - m.med), 0.5) AS mad
+  FROM documents d JOIN med m USING (source) GROUP BY d.source
+)
+SELECT d.source, d.doc_id, d.n_chars,
+       round(m.med, 4) AS med, round(a.mad, 4) AS mad
+FROM documents d JOIN med m USING (source) JOIN mad a USING (source)
+WHERE abs(d.n_chars - m.med) > {MAD_K} * a.mad
+"""
+
+
 TIMESERIES_QUERIES: dict[str, tuple] = {
     "asof_join_events": (q_asof_join_events, SQL_ASOF_JOIN_EVENTS),
     "rollup_revenue": (q_rollup_revenue, SQL_ROLLUP_REVENUE),
@@ -617,4 +678,5 @@ TIMESERIES_QUERIES: dict[str, tuple] = {
     "funnel_conversion": (q_funnel_conversion, SQL_FUNNEL_CONVERSION),
     "pivot_revenue_years": (q_pivot_revenue_years, SQL_PIVOT_REVENUE_YEARS),
     "cube_revenue": (q_cube_revenue, SQL_CUBE_REVENUE),
+    "outlier_mad": (q_outlier_mad, SQL_OUTLIER_MAD),
 }

@@ -261,3 +261,21 @@ def test_cube_adds_year_marginal_consistently(spark):
         g = cells[cells.o_year == year]
         assert m["n_items"] == g["n_items"].sum()
         assert abs(m["revenue"] - g["revenue"].sum()) < 0.05
+
+
+def test_outlier_mad_matches_pandas(spark):
+    """The flagged set equals an independent pandas MAD computation per
+    source (median/MAD via linear-interpolation quantiles), and is
+    non-empty without flagging everything."""
+    out = ts.q_outlier_mad(spark, SF_DIR).toPandas()
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    want = set()
+    for src, g in docs.groupby("source"):
+        med = g["n_chars"].quantile(0.5, interpolation="linear")
+        mad = (g["n_chars"] - med).abs().quantile(0.5, interpolation="linear")
+        for r in g.itertuples():
+            if abs(r.n_chars - med) > ts.MAD_K * mad:
+                want.add((src, r.doc_id))
+    got = {(r.source, r.doc_id) for r in out.itertuples()}
+    assert got == want
+    assert 0 < len(got) < len(docs)
