@@ -56,6 +56,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries into the tail (31 total), every one re-verified in
 # CORRECTNESS_SUPPLEMENT_r03.json.
 _OVERFLOW_TAIL = [
+    # displaced for interval_overlap_join: bloom_dedup is round-3,
+    # supplement-verified, with dedicated no-false-negative and
+    # streaming-twin pytests.
+    "bloom_dedup",
     # displaced for outlier_mad: hll_distinct is round-3,
     # supplement-verified, with a dedicated register-exactness pytest.
     "hll_distinct",

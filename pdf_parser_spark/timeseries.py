@@ -668,6 +668,101 @@ WHERE abs(d.n_chars - m.med) > {MAD_K} * a.mad
 """
 
 
+# --------------------------------------------------------------------------
+# Interval overlap join (binned, no cross product)
+# --------------------------------------------------------------------------
+
+OVERLAP_BIN_S = 3600  # 1 h bins over session intervals
+
+
+def q_interval_overlap_join(spark, sf_dir):
+    """Per session: how many OTHER users' sessions overlap it in time —
+    the interval-overlap join (concurrency analysis, co-activity
+    attribution) that naive SQL writes as a theta join and that
+    degenerates to a cross product at scale.
+
+    Device: explode each interval into the 1 h bins it spans
+    (sequence(start div B, end div B)), equi-join on the bin — so a
+    session pair is compared ONLY if they share an hour, bounding
+    candidates by (sessions active per bin)^2 per bin instead of
+    n_sessions^2 — then the exact overlap predicate
+    (a.start <= b.end AND b.start <= a.end), a distinct to collapse
+    pairs that share several bins, and one count aggregate. The DuckDB
+    oracle intentionally uses the OTHER algorithm (the direct
+    inequality join) so the differential crosses algorithms, not just
+    engines. Bin width trades explode factor against candidate density;
+    at 100 TB it is sized so bins hold O(cluster cores) intervals, and
+    a hot bin (a flash-crowd hour) is the same AQE-splittable skew as
+    any hot join key."""
+    from .analytics.queries import q_event_sessions
+
+    sess = q_event_sessions(spark, sf_dir).select(
+        "user_id", "session_id", "start_et", "end_et"
+    )
+
+    def bins(df, p):
+        return df.select(
+            F.col("user_id").alias(f"{p}_user"),
+            F.col("session_id").alias(f"{p}_sid"),
+            F.col("start_et").alias(f"{p}_s"),
+            F.col("end_et").alias(f"{p}_e"),
+            F.explode(
+                F.sequence(
+                    F.expr(f"start_et div {OVERLAP_BIN_S}"),
+                    F.expr(f"end_et div {OVERLAP_BIN_S}"),
+                )
+            ).alias("bin"),
+        )
+
+    cand = (
+        bins(sess, "a")
+        .join(bins(sess, "b"), "bin")
+        .where(F.col("a_user") != F.col("b_user"))
+        .where((F.col("a_s") <= F.col("b_e")) & (F.col("b_s") <= F.col("a_e")))
+        .select("a_user", "a_sid", "b_user", "b_sid")
+        .distinct()
+    )
+    counts = cand.groupBy(
+        F.col("a_user").alias("user_id"), F.col("a_sid").alias("session_id")
+    ).agg(F.count(F.lit(1)).alias("n_overlaps"))
+    return sess.join(counts, ["user_id", "session_id"], "left").select(
+        "user_id",
+        "session_id",
+        "start_et",
+        "end_et",
+        F.coalesce("n_overlaps", F.lit(0)).alias("n_overlaps"),
+    )
+
+
+from .analytics.queries import SESSION_GAP_S as _GAP_S  # oracle stays in lockstep
+
+SQL_INTERVAL_OVERLAP_JOIN = f"""
+WITH e AS (
+  SELECT user_id, event_id, floor(epoch(ts))::BIGINT AS et FROM events
+), f AS (
+  SELECT user_id, event_id, et,
+         CASE WHEN et - lag(et) OVER (PARTITION BY user_id ORDER BY et, event_id)
+                   > {_GAP_S} THEN 1 ELSE 0 END AS new_sess
+  FROM e
+), s AS (
+  SELECT user_id, et,
+         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY et, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_id
+  FROM f
+), sess AS (
+  SELECT user_id, session_id, MIN(et) AS start_et, MAX(et) AS end_et
+  FROM s GROUP BY user_id, session_id
+)
+SELECT a.user_id, a.session_id, a.start_et, a.end_et,
+       count(b.user_id)::BIGINT AS n_overlaps
+FROM sess a LEFT JOIN sess b
+  ON a.user_id <> b.user_id
+ AND a.start_et <= b.end_et AND b.start_et <= a.end_et
+GROUP BY a.user_id, a.session_id, a.start_et, a.end_et
+"""
+
+
 TIMESERIES_QUERIES: dict[str, tuple] = {
     "asof_join_events": (q_asof_join_events, SQL_ASOF_JOIN_EVENTS),
     "rollup_revenue": (q_rollup_revenue, SQL_ROLLUP_REVENUE),
@@ -679,4 +774,5 @@ TIMESERIES_QUERIES: dict[str, tuple] = {
     "pivot_revenue_years": (q_pivot_revenue_years, SQL_PIVOT_REVENUE_YEARS),
     "cube_revenue": (q_cube_revenue, SQL_CUBE_REVENUE),
     "outlier_mad": (q_outlier_mad, SQL_OUTLIER_MAD),
+    "interval_overlap_join": (q_interval_overlap_join, SQL_INTERVAL_OVERLAP_JOIN),
 }

@@ -279,3 +279,21 @@ def test_outlier_mad_matches_pandas(spark):
     got = {(r.source, r.doc_id) for r in out.itertuples()}
     assert got == want
     assert 0 < len(got) < len(docs)
+
+
+def test_interval_overlap_matches_bruteforce(spark):
+    """The binned overlap counts equal an O(n^2) pandas brute force over
+    the same session set; sessions with zero overlaps are retained."""
+    out = ts.q_interval_overlap_join(spark, SF_DIR).toPandas()
+    sess = list(out[["user_id", "session_id", "start_et", "end_et"]].itertuples(index=False))
+    for r in out.itertuples():
+        want = sum(
+            1
+            for o in sess
+            if o.user_id != r.user_id
+            and r.start_et <= o.end_et
+            and o.start_et <= r.end_et
+        )
+        assert r.n_overlaps == want
+    assert (out["n_overlaps"] == 0).any() or len(out) < 200  # zeros bind at this sf
+    assert (out["n_overlaps"] > 0).any()
