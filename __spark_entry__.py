@@ -56,6 +56,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries into the tail (31 total), every one re-verified in
 # CORRECTNESS_SUPPLEMENT_r03.json.
 _OVERFLOW_TAIL = [
+    # displaced for hll_window_distinct: snapshot_diff is round-3,
+    # supplement-verified, with a statuses-bind pytest and scd2_merge
+    # reconciling against it in-suite.
+    "snapshot_diff",
     # displaced for interval_overlap_join: bloom_dedup is round-3,
     # supplement-verified, with dedicated no-false-negative and
     # streaming-twin pytests.

@@ -396,9 +396,133 @@ JOIN dims d2 ON p.j = d2.i
 """
 
 
+
+# --------------------------------------------------------------------------
+# Windowed distinct via MERGED HLL register states
+# --------------------------------------------------------------------------
+
+
+def q_hll_window_distinct(spark, sf_dir):
+    """Trailing-7-day distinct users per day, computed by MERGING the
+    per-day HLL register states — the property that makes sketches the
+    100 TB answer to windowed distincts: each day's raw events collapse
+    once into m=16 integer registers, and every overlapping window is
+    then a register-wise max over 7 tiny states (a RANGE window on the
+    dense day x register grid), never a rescan of the raw events. The
+    exact windowed distinct rides along (cheap here: days x users), so
+    the estimator's numerator is emitted NEXT TO its ground truth —
+    measured error, not assumed. Same integer-exact lsb/rank arithmetic
+    as hll_distinct, so the two engines agree bit-for-bit."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("day"),
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h60"),
+    )
+    regs = ev.select(
+        "day",
+        (F.col("h60") % HLL_M).alias("reg"),
+        F.expr(f"h60 div {HLL_M}").alias("w"),
+    ).select(
+        "day",
+        "reg",
+        F.expr(
+            f"least(CASE WHEN w = 0 THEN {2 ** HLL_RANK_CAP} "
+            f"ELSE w & -w END, {2 ** (HLL_RANK_CAP - 1)})"
+        ).alias("lsb"),
+    )
+    daily = regs.groupBy("day", "reg").agg(F.max("lsb").alias("m_lsb"))
+    days = ev.select("day").distinct()
+    grid = days.crossJoin(
+        F.broadcast(
+            spark.range(HLL_M).select(F.col("id").cast("long").alias("reg"))
+        )
+    )
+    dense = grid.join(daily, ["day", "reg"], "left")
+    w = Window.partitionBy("reg").orderBy("day").rangeBetween(-6, 0)
+    win = dense.select(
+        "day", "reg", F.max("m_lsb").over(w).alias("w_lsb")
+    )
+    numer = win.groupBy("day").agg(
+        F.sum(
+            F.when(
+                F.col("w_lsb").isNotNull(),
+                F.expr(f"{2 ** (HLL_RANK_CAP - 1)} div w_lsb"),
+            ).otherwise(F.lit(2 ** HLL_RANK_CAP))
+        ).alias("hll_numerator_w7"),
+        F.sum(F.col("w_lsb").isNull().cast("long")).alias("n_empty_regs"),
+    )
+    user_days = ev.select("day", "h60").distinct()
+    exact = (
+        days.select(F.col("day").alias("d"))
+        .join(
+            user_days,
+            (F.col("day") >= F.col("d") - 6) & (F.col("day") <= F.col("d")),
+        )
+        .select("d", "h60")
+        .distinct()
+        .groupBy(F.col("d").alias("day"))
+        .agg(F.count(F.lit(1)).alias("exact_distinct_w7"))
+    )
+    return exact.join(numer, "day").select(
+        "day", "exact_distinct_w7", "hll_numerator_w7", "n_empty_regs"
+    )
+
+
+_SQL_H60_USER = "('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT"
+
+SQL_HLL_WINDOW_DISTINCT = f"""
+WITH ev AS (
+  SELECT date_diff('day', DATE '1970-01-01', ts::DATE)::BIGINT AS day,
+         {_SQL_H60_USER} AS h60
+  FROM events
+), regs AS (
+  SELECT day, h60 % {HLL_M} AS reg,
+         least(CASE WHEN (h60 // {HLL_M}) = 0 THEN {2 ** HLL_RANK_CAP}
+               ELSE (h60 // {HLL_M}) & -(h60 // {HLL_M}) END,
+               {2 ** (HLL_RANK_CAP - 1)}) AS lsb
+  FROM ev
+), daily AS (
+  SELECT day, reg, max(lsb) AS m_lsb FROM regs GROUP BY day, reg
+), grid AS (
+  SELECT d.day, r.reg
+  FROM (SELECT DISTINCT day FROM ev) d,
+       (SELECT unnest(generate_series(0, {HLL_M - 1}))::BIGINT AS reg) r
+), dense AS (
+  SELECT g.day, g.reg, daily.m_lsb
+  FROM grid g LEFT JOIN daily USING (day, reg)
+), win AS (
+  SELECT day, reg,
+         max(m_lsb) OVER (PARTITION BY reg ORDER BY day
+                          RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS w_lsb
+  FROM dense
+), numer AS (
+  SELECT day,
+         SUM(CASE WHEN w_lsb IS NOT NULL
+                  THEN {2 ** (HLL_RANK_CAP - 1)} // w_lsb
+                  ELSE {2 ** HLL_RANK_CAP} END)::BIGINT AS hll_numerator_w7,
+         SUM(CASE WHEN w_lsb IS NULL THEN 1 ELSE 0 END)::BIGINT
+           AS n_empty_regs
+  FROM win GROUP BY day
+), exact AS (
+  SELECT d.day, count(DISTINCT u.h60)::BIGINT AS exact_distinct_w7
+  FROM (SELECT DISTINCT day FROM ev) d
+  JOIN (SELECT DISTINCT day, h60 FROM ev) u
+    ON u.day BETWEEN d.day - 6 AND d.day
+  GROUP BY d.day
+)
+SELECT day, exact_distinct_w7, hll_numerator_w7, n_empty_regs
+FROM exact JOIN numer USING (day)
+"""
+
 SKETCH_QUERIES = {
     "cms_heavy_hitters": (q_cms_heavy_hitters, SQL_CMS_HEAVY_HITTERS),
     "hll_distinct": (q_hll_distinct, SQL_HLL_DISTINCT),
     "hist_quantiles": (q_hist_quantiles, SQL_HIST_QUANTILES),
     "embedding_covariance": (q_embedding_covariance, SQL_EMBEDDING_COVARIANCE),
+    "hll_window_distinct": (q_hll_window_distinct, SQL_HLL_WINDOW_DISTINCT),
 }

@@ -164,3 +164,50 @@ def test_embedding_covariance_matches_numpy(spark):
     assert len(out) == 64 * 65 // 2
     for (i, j), v in out.items():
         assert v == pytest.approx(round(float(cov[i, j]), 6), abs=2e-6)
+
+
+def test_hll_window_merge_equals_direct_sketch(spark):
+    """The merged windowed register state equals an HLL built FROM
+    SCRATCH over each window's raw events (the mergeability property),
+    and the estimator's numerator implies a relative error within the
+    16-register band against the exact windowed distinct."""
+    import pandas as pd
+
+    from pdf_parser_spark import sketches as sk
+
+    out = (
+        sk.q_hll_window_distinct(spark, "/root/testdata/sf0.001")
+        .toPandas()
+        .set_index("day")
+        .sort_index()
+    )
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    ev["day"] = (ev["ts"].dt.normalize() - pd.Timestamp(0)).dt.days
+
+    import hashlib
+
+    def h60(u):
+        return int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16)
+
+    by_day: dict[int, set[int]] = {}
+    for r in ev.itertuples():
+        by_day.setdefault(r.day, set()).add(h60(r.user_id))
+    for d in out.index:
+        users = set()
+        for k in range(d - 6, d + 1):
+            users |= by_day.get(k, set())
+        # from-scratch sketch over the window's users
+        regs = {}
+        for h in users:
+            reg, w = h % sk.HLL_M, h // sk.HLL_M
+            lsb = min(
+                (w & -w) if w else 2 ** sk.HLL_RANK_CAP,
+                2 ** (sk.HLL_RANK_CAP - 1),
+            )
+            regs[reg] = max(regs.get(reg, 0), lsb)
+        numer = sum(
+            2 ** (sk.HLL_RANK_CAP - 1) // lsb for lsb in regs.values()
+        ) + (sk.HLL_M - len(regs)) * 2 ** sk.HLL_RANK_CAP
+        assert out.loc[d, "hll_numerator_w7"] == numer
+        assert out.loc[d, "exact_distinct_w7"] == len(users)
+        assert out.loc[d, "n_empty_regs"] == sk.HLL_M - len(regs)
