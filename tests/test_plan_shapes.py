@@ -279,3 +279,27 @@ def test_triangle_no_cartesian(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "partial_count" in p
+
+
+def test_interval_overlap_no_cartesian(spark):
+    """The binned interval-overlap join must stay an equi-join on the
+    bin — a CartesianProduct/NestedLoop anywhere means the overlap
+    predicate degenerated to the n^2 theta join the device exists to
+    avoid. (The oracle intentionally RUNS that theta join; the Spark
+    side must never.)"""
+    from pdf_parser_spark.timeseries import q_interval_overlap_join
+
+    p = _plan(q_interval_overlap_join(spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_hll_window_sketch_merges_map_side(spark):
+    """The daily register collapse must partially aggregate map-side
+    (partial_max), and the windowed merge must run on the dense grid,
+    not raw events (the grid cross join is the 16-row broadcast)."""
+    from pdf_parser_spark.sketches import q_hll_window_distinct
+
+    p = _plan(q_hll_window_distinct(spark, SF_DIR))
+    assert "partial_max" in p
+    assert "CartesianProduct" not in p
