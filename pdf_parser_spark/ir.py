@@ -55,7 +55,12 @@ def q_inverted_index(spark, sf_dir):
     pairs = _doc_tokens(spark, sf_dir).distinct()
     return (
         pairs.groupBy(
-            "token", (F.col("doc_id") / POSTING_SEGMENT).cast("long").alias("segment")
+            "token",
+            # BIGINT div, not float division + cast: a 63-bit snowflake
+            # doc_id would round at the double's 53-bit mantissa and
+            # land postings in the wrong segment (same hazard class as
+            # the bloom h60 div — see snapshot.py).
+            F.expr(f"doc_id div {POSTING_SEGMENT}").alias("segment"),
         )
         .agg(
             F.count(F.lit(1)).alias("df_seg"),
