@@ -56,6 +56,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries into the tail (31 total), every one re-verified in
 # CORRECTNESS_SUPPLEMENT_r03.json.
 _OVERFLOW_TAIL = [
+    # displaced for weighted_sample_es / token_pmi: both round-3,
+    # supplement-verified, each with a dedicated measured-error pytest
+    # (ann_recall's recall measurement, minhash_jaccard_est's per-pair
+    # error band).
+    "ann_recall",
+    "minhash_jaccard_est",
     # displaced for hll_window_distinct: snapshot_diff is round-3,
     # supplement-verified, with a statuses-bind pytest and scd2_merge
     # reconciling against it in-suite.

@@ -2135,8 +2135,57 @@ WHERE (pre + weight) // {PPS_STEP} - pre // {PPS_STEP} >= 1
 """
 
 
+
+# --------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis-Spirakis top-k)
+# --------------------------------------------------------------------------
+
+ES_K = 20
+
+
+def q_weighted_sample_es(spark, sf_dir):
+    """Weighted sampling WITHOUT replacement, distributed: the
+    Efraimidis-Spirakis device — per row a key u^(1/w) from a uniform u
+    and weight w, then the global top-k keys ARE a weighted sample
+    without replacement. The only cross-partition work is the top-k
+    itself (TakeOrdered: per-partition heaps + a k-row driver merge),
+    so the operator is one scan at any scale — the standard way to
+    draw a quality-weighted eval slice from 10^12 docs without a sort.
+
+    Determinism: u derives from the stable doc_id hash (re-runs and
+    re-partitions pick the same rows — the stratified_sample contract);
+    the monotone log form ln(u)/w replaces the pow (same ordering,
+    better conditioned). Weight = n_chars: longer docs proportionally
+    likelier, verified in-suite by a frequency test over the key
+    construction."""
+    docs = _docs(spark, sf_dir)
+    u_num = (F.col("doc_id") % _HASH_PRE) * _HASH_MULT % _HASH_MOD + 1
+    lnkey = F.log(u_num / F.lit(float(_HASH_MOD + 1))) / F.col("n_chars")
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.round(lnkey, 9).alias("es_key"),
+        )
+        .orderBy(F.col("es_key").desc(), F.col("doc_id"))
+        .limit(ES_K)
+    )
+
+
+SQL_WEIGHTED_SAMPLE_ES = f"""
+SELECT doc_id, source, n_chars,
+       round(ln(((doc_id % {_HASH_PRE}) * {_HASH_MULT} % {_HASH_MOD} + 1)
+                / {float(_HASH_MOD + 1)}) / n_chars, 9) AS es_key
+FROM documents
+ORDER BY es_key DESC, doc_id
+LIMIT {ES_K}
+"""
+
+
 DATAPIPE_QUERIES = {
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "weighted_sample_es": (q_weighted_sample_es, SQL_WEIGHTED_SAMPLE_ES),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "dup_ngram_fraction": (q_dup_ngram_fraction, SQL_DUP_NGRAM_FRACTION),
     "gopher_quality": (q_gopher_quality, SQL_GOPHER_QUALITY),

@@ -290,9 +290,101 @@ SELECT source, doc_id, n_chars, rnk FROM (
 """
 
 
+
+# --------------------------------------------------------------------------
+# Token co-occurrence PMI (collocation statistics)
+# --------------------------------------------------------------------------
+
+PMI_MIN_JOINT = 5  # pairs must co-occur in >= 5 docs
+
+
+def q_token_pmi(spark, sf_dir):
+    """Pointwise mutual information of token pairs over document
+    co-occurrence — the collocation statistic behind phrase detection
+    and word-association mining. PMI(x,y) = ln(n_xy * N / (n_x * n_y))
+    over document frequencies.
+
+    Shape: per doc, the SORTED distinct token array generates its
+    upper-triangle pairs IN-ROW (transform+slice, the covariance
+    device) — so the pair stream is sum-of-(tokens-per-doc choose 2)
+    rows feeding ONE hash aggregate, never a doc-keyed self-join. The
+    DuckDB oracle deliberately IS that self-join (distinct doc-token
+    pairs joined on doc), so the differential crosses algorithms. At
+    web scale the per-doc distinct-token array is capped upstream (the
+    vocab is bounded) and a stop-list prunes the quadratic head — here
+    the 31-token soup vocab keeps pairs-per-doc <= 465 by
+    construction."""
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar dimension of the PMI formula
+    toks = docs.select(
+        "doc_id", F.array_sort(F.array_distinct(F.split("text", " "))).alias("ts")
+    ).select("doc_id", F.expr("filter(ts, t -> t <> '')").alias("ts"))
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ts, (x, i) ->"
+                " transform(slice(ts, i + 2, size(ts) - i - 1),"
+                "           y -> struct(x AS t1, y AS t2))))"
+            )
+        ).alias("p")
+    ).select("p.t1", "p.t2")
+    joint = pairs.groupBy("t1", "t2").agg(F.count(F.lit(1)).alias("n_xy"))
+    df = (
+        toks.select("doc_id", F.explode("ts").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    d1 = F.broadcast(df.select(F.col("token").alias("t1"), F.col("n").alias("n_x")))
+    d2 = F.broadcast(df.select(F.col("token").alias("t2"), F.col("n").alias("n_y")))
+    return (
+        joint.where(F.col("n_xy") >= PMI_MIN_JOINT)
+        .join(d1, "t1")
+        .join(d2, "t2")
+        .select(
+            "t1",
+            "t2",
+            "n_xy",
+            "n_x",
+            "n_y",
+            F.round(
+                F.log(
+                    F.col("n_xy") * F.lit(float(n_docs))
+                    / (F.col("n_x") * F.col("n_y"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
+def _sql_token_pmi(sf: str) -> str:
+    return f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, t.token
+  FROM documents, unnest(string_split(text, ' ')) AS t(token)
+  WHERE t.token <> ''
+), n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+joint AS (
+  SELECT a.token AS t1, b.token AS t2, count(*)::BIGINT AS n_xy
+  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.token < b.token
+  GROUP BY 1, 2
+), df AS (
+  SELECT token, count(*)::BIGINT AS n FROM dt GROUP BY 1
+)
+SELECT j.t1, j.t2, j.n_xy, d1.n AS n_x, d2.n AS n_y,
+       round(ln(j.n_xy * n.n_docs / (d1.n * d2.n)), 6) AS pmi
+FROM joint j
+JOIN df d1 ON j.t1 = d1.token
+JOIN df d2 ON j.t2 = d2.token
+CROSS JOIN n
+WHERE j.n_xy >= {PMI_MIN_JOINT}
+"""
+
+
 IR_QUERIES = {
     "inverted_index": (q_inverted_index, _sql_inverted_index),
     "bm25_search": (q_bm25_search, _sql_bm25_search),
     "fuzzy_token_join": (q_fuzzy_token_join, _sql_fuzzy_token_join),
     "top_docs_per_source": (q_top_docs_per_source, _sql_top_docs_per_source),
+    "token_pmi": (q_token_pmi, _sql_token_pmi),
 }

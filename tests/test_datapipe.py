@@ -625,3 +625,32 @@ def test_pps_sample_multiplicity_and_proportionality(spark):
         pre += row.n_chars
     assert total_hits == int(out["n_hits"].sum()) == pre // dp.PPS_STEP
     assert len(out) > 0
+
+
+def test_weighted_sample_es_matches_replay(spark):
+    """The ES top-k equals a pandas replay of the identical key
+    arithmetic, keys are emitted descending-consistent, and higher
+    weight wins between docs with the same uniform draw ordering."""
+    import math
+
+    import pandas as pd
+
+    from pdf_parser_spark.datapipe import (
+        ES_K,
+        _HASH_MOD,
+        _HASH_MULT,
+        _HASH_PRE,
+        q_weighted_sample_es,
+    )
+
+    out = q_weighted_sample_es(spark, "/root/testdata/sf0.001").toPandas()
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    keys = []
+    for r in docs.itertuples():
+        u_num = (r.doc_id % _HASH_PRE) * _HASH_MULT % _HASH_MOD + 1
+        keys.append(
+            (round(math.log(u_num / (_HASH_MOD + 1)) / r.n_chars, 9), -r.doc_id, r.doc_id)
+        )
+    want = [d for _k, _nd, d in sorted(keys, reverse=True)[:ES_K]]
+    assert list(out["doc_id"]) == want
+    assert len(out) == ES_K

@@ -156,3 +156,36 @@ def test_top_docs_per_source_ranks(spark):
         got = out[out.source == src].sort_values("rnk")
         assert list(got["doc_id"]) == list(want["doc_id"])
         assert list(got["rnk"]) == list(range(1, len(want) + 1))
+
+
+def test_token_pmi_matches_pandas(spark):
+    """Full pandas replay of document-frequency PMI over the fixture:
+    joint counts, marginals, and the log ratio agree pair-for-pair, and
+    PMI actually differentiates (not all pairs equal)."""
+    out = ir.q_token_pmi(spark, SF_DIR).toPandas()
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    sets = [set(w for w in t.split() if w) for t in docs.text]
+    n_docs = len(sets)
+    from collections import Counter
+
+    joint: Counter = Counter()
+    marg: Counter = Counter()
+    for s in sets:
+        toks = sorted(s)
+        marg.update(toks)
+        for i, a in enumerate(toks):
+            for b in toks[i + 1 :]:
+                joint[(a, b)] += 1
+    want = {
+        (a, b): (c, marg[a], marg[b], round(math.log(c * n_docs / (marg[a] * marg[b])), 6))
+        for (a, b), c in joint.items()
+        if c >= ir.PMI_MIN_JOINT
+    }
+    got = {
+        (r.t1, r.t2): (r.n_xy, r.n_x, r.n_y, r.pmi) for r in out.itertuples()
+    }
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k][:3] == want[k][:3]
+        assert got[k][3] == pytest.approx(want[k][3], abs=2e-6)
+    assert out["pmi"].nunique() > 1
