@@ -56,6 +56,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries into the tail (31 total), every one re-verified in
 # CORRECTNESS_SUPPLEMENT_r03.json.
 _OVERFLOW_TAIL = [
+    # displaced for json_props_stats / host_shortest_paths: both
+    # round-3, supplement-verified, with dedicated pytests
+    # (test_semdedup; tfidf broadcast plan pin).
+    "tfidf_top_terms",
+    "semdedup_keep",
     # displaced for weighted_sample_es / token_pmi: both round-3,
     # supplement-verified, each with a dedicated measured-error pytest
     # (ann_recall's recall measurement, minhash_jaccard_est's per-pair

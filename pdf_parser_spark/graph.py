@@ -250,7 +250,73 @@ SELECT node, count(*)::BIGINT AS n_tri FROM corners GROUP BY node
 """
 
 
+
+# --------------------------------------------------------------------------
+# BFS shortest paths (frontier iteration)
+# --------------------------------------------------------------------------
+
+BFS_SOURCE = 0
+BFS_MAX_DEPTH = 32
+
+
+def q_host_shortest_paths(spark, sf_dir):
+    """Hop distance from host 0 to every reachable host — crawl-depth /
+    link-distance analysis — as FRONTIER-based BFS-by-joins: each round
+    joins only the newly-reached frontier against the edge list
+    (frontier ⋈ edges → candidate dists → anti-join against settled),
+    so total work is O(edges-touched), not O(rounds x graph). With unit
+    weights, level-order first-reach IS the shortest path, so no
+    re-relaxation. Per round: one equi-join + one aggregate + one
+    anti-join, lineage truncated with localCheckpoint (the
+    near_dup_components device); one scalar count per round drives
+    termination and non-convergence past BFS_MAX_DEPTH raises (ADVICE
+    r2: never return silently-partial results). Unreachable hosts are
+    absent in both engines."""
+    from .driver_contract import sf_of
+
+    sf = sf_of(sf_dir)
+    ensure_host_graph(sf)
+    e = spark.read.parquet(edges_path(sf)).localCheckpoint(eager=False)
+    dist = spark.createDataFrame(
+        [(BFS_SOURCE, 0)], "node long, dist long"
+    )
+    frontier = dist
+    for depth in range(1, BFS_MAX_DEPTH + 1):
+        cand = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        new = cand.join(dist, "node", "left_anti").localCheckpoint(eager=False)
+        if new.isEmpty():
+            break
+        dist = dist.unionByName(new).localCheckpoint(eager=False)
+        frontier = new
+    else:
+        raise RuntimeError(
+            f"BFS did not converge within {BFS_MAX_DEPTH} hops — graph "
+            "diameter exceeds the cap; raise BFS_MAX_DEPTH"
+        )
+    return dist
+
+
+def _sql_host_shortest_paths(sf: str) -> str:
+    ensure_host_graph(sf)
+    return f"""
+WITH RECURSIVE d AS (
+  SELECT {BFS_SOURCE}::BIGINT AS node, 0::BIGINT AS dist
+  UNION
+  SELECT e.dst, d.dist + 1
+  FROM d JOIN read_parquet('{edges_path(sf)}') e ON d.node = e.src
+  WHERE d.dist < {BFS_MAX_DEPTH}
+)
+SELECT node, min(dist) AS dist FROM d GROUP BY node
+"""
+
+
 GRAPH_QUERIES = {
     "pagerank_hosts": (q_pagerank_hosts, _sql_pagerank_hosts),
     "triangle_count": (q_triangle_count, _sql_triangle_count),
+    "host_shortest_paths": (q_host_shortest_paths, _sql_host_shortest_paths),
 }

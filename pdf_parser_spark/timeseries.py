@@ -763,6 +763,50 @@ GROUP BY a.user_id, a.session_id, a.start_et, a.end_et
 """
 
 
+
+# --------------------------------------------------------------------------
+# Semi-structured (JSON) property extraction + aggregate
+# --------------------------------------------------------------------------
+
+
+def q_json_props_stats(spark, sf_dir):
+    """Per event_type statistics of the ``k`` property parsed out of the
+    events table's JSON ``props`` column — the semi-structured path
+    every event pipeline has (properties too sparse/ragged for real
+    columns ride as JSON; hot keys get extracted and aggregated).
+
+    ``get_json_object`` evaluates JVM-side inside the scan projection
+    (no UDF, stays in whole-stage codegen) and the aggregate is one
+    map-side-combined exchange over 5 types. At 100 TB the same
+    expression is the extraction step that MATERIALIZES the hot key as
+    a real column at ingest — parse once, not per query; this operator
+    is that parse. k-decile spread (exact percentile on the 5-row
+    grouped frame) rides along so the output differentiates."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("k").isNull().cast("long")).alias("n_missing"),
+        F.min("k").alias("k_min"),
+        F.max("k").alias("k_max"),
+        F.sum("k").alias("k_sum"),
+        F.round(F.expr("percentile(k, 0.5D)"), 4).alias("k_med"),
+    )
+
+
+SQL_JSON_PROPS_STATS = """
+WITH ev AS (
+  SELECT event_type, (props::JSON ->> 'k')::BIGINT AS k FROM events
+)
+SELECT event_type, count(*)::BIGINT AS n_events,
+       SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_missing,
+       min(k) AS k_min, max(k) AS k_max, SUM(k)::BIGINT AS k_sum,
+       round(quantile_cont(k, 0.5), 4) AS k_med
+FROM ev GROUP BY event_type
+"""
+
 TIMESERIES_QUERIES: dict[str, tuple] = {
     "asof_join_events": (q_asof_join_events, SQL_ASOF_JOIN_EVENTS),
     "rollup_revenue": (q_rollup_revenue, SQL_ROLLUP_REVENUE),
@@ -775,4 +819,5 @@ TIMESERIES_QUERIES: dict[str, tuple] = {
     "cube_revenue": (q_cube_revenue, SQL_CUBE_REVENUE),
     "outlier_mad": (q_outlier_mad, SQL_OUTLIER_MAD),
     "interval_overlap_join": (q_interval_overlap_join, SQL_INTERVAL_OVERLAP_JOIN),
+    "json_props_stats": (q_json_props_stats, SQL_JSON_PROPS_STATS),
 }

@@ -85,3 +85,33 @@ def test_triangle_known_closure(spark):
     raw = spark.createDataFrame(edges, "src long, dst long")
     out = gr._triangle_core(raw).toPandas().set_index("node")["n_tri"].to_dict()
     assert out == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_bfs_matches_python_replay(spark):
+    """Frontier BFS equals a direct Python BFS over the generated edge
+    list: same reachable set, same hop distances; the source is at
+    distance 0 and some node sits at depth >= 2 (multi-round frontier
+    genuinely exercised)."""
+    out = (
+        gr.q_host_shortest_paths(spark, SF_DIR)
+        .toPandas()
+        .set_index("node")["dist"]
+        .to_dict()
+    )
+    n = gr.n_hosts_for_sf(0.001)
+    adj: dict[int, list[int]] = {}
+    for e in gr.gen_edges(n):
+        adj.setdefault(e["src"], []).append(e["dst"])
+    want, frontier = {gr.BFS_SOURCE: 0}, [gr.BFS_SOURCE]
+    d = 0
+    while frontier:
+        d += 1
+        nxt = []
+        for u in frontier:
+            for v in adj.get(u, []):
+                if v not in want:
+                    want[v] = d
+                    nxt.append(v)
+        frontier = nxt
+    assert out == want
+    assert max(want.values()) >= 2

@@ -297,3 +297,23 @@ def test_interval_overlap_matches_bruteforce(spark):
         assert r.n_overlaps == want
     assert (out["n_overlaps"] == 0).any() or len(out) < 200  # zeros bind at this sf
     assert (out["n_overlaps"] > 0).any()
+
+
+def test_json_props_stats_matches_pandas(spark):
+    """The JSON-extracted k statistics equal a pandas json.loads replay
+    per event_type."""
+    import json as _json
+
+    out = ts.q_json_props_stats(spark, SF_DIR).toPandas().set_index("event_type")
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    ev["k"] = ev["props"].map(lambda s: _json.loads(s).get("k"))
+    for etype, g in ev.groupby("event_type"):
+        ks = g["k"].dropna()
+        row = out.loc[etype]
+        assert row["n_events"] == len(g)
+        assert row["n_missing"] == g["k"].isna().sum()
+        assert row["k_min"] == ks.min() and row["k_max"] == ks.max()
+        assert row["k_sum"] == ks.sum()
+        assert row["k_med"] == pytest.approx(
+            round(ks.quantile(0.5, interpolation="linear"), 4), abs=1e-9
+        )
