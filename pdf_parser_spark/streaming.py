@@ -640,3 +640,84 @@ def top_users_stream(events: DataFrame, k: int = 5) -> DataFrame:
     return counts.orderBy(
         F.col("n_events").desc(), F.col("user_id")
     ).limit(k)
+
+
+# --------------------------------------------------------------------------
+# Streaming funnel (stateful per-user stage machine)
+# --------------------------------------------------------------------------
+
+_FUNNEL_OUT_SCHEMA = (
+    "user_id long, t_view long, t_click long, t_purchase long, "
+    "reached int, seq int"
+)
+_FUNNEL_STATE_SCHEMA = (
+    "t_view long, t_click long, t_purchase long, seq int"
+)
+
+
+def _funnel_update(key, pdfs, state):
+    """applyInPandasWithState update fn for the streaming funnel —
+    module-level so the stage logic is unit-testable. State per user is
+    the three first-stage timestamps; each micro-batch is sorted by
+    (et, event_id) — the batch device's exact window order — and folded
+    through the view -> qualified click -> qualified purchase machine.
+    A row is emitted only when the state ADVANCES (monotone `seq`), so
+    the max-seq emission per user is the user's final funnel row.
+    Across batches the stream must be et-ordered per user, the same
+    contract as the as-of twin; state is three longs however long the
+    stream runs."""
+    import pandas as pd
+
+    (user_id,) = key
+    t_view, t_click, t_purch, seq = (
+        state.get if state.exists else (None, None, None, 0)
+    )
+    out = []
+    for pdf in pdfs:
+        changed = False
+        pdf = pdf.sort_values(["et", "event_id"])
+        for r in pdf.itertuples():
+            if r.event_type == "view" and t_view is None:
+                t_view, changed = int(r.et), True
+            elif (
+                r.event_type == "click"
+                and t_click is None
+                and t_view is not None
+                and r.et >= t_view
+            ):
+                t_click, changed = int(r.et), True
+            elif (
+                r.event_type == "purchase"
+                and t_purch is None
+                and t_click is not None
+                and r.et >= t_click
+            ):
+                t_purch, changed = int(r.et), True
+        if changed:
+            seq += 1
+            reached = sum(t is not None for t in (t_view, t_click, t_purch))
+            out.append((user_id, t_view, t_click, t_purch, reached, seq))
+    state.update((t_view, t_click, t_purch, seq))
+    if out:
+        yield pd.DataFrame(
+            out,
+            columns=["user_id", "t_view", "t_click", "t_purchase", "reached", "seq"],
+        )
+
+
+def funnel_event_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of the batch ordered funnel
+    (timeseries._funnel_core): per user the first view, first click
+    at-or-after it, first purchase at-or-after that, maintained in
+    keyed state and re-emitted (with a monotone seq) whenever a stage
+    completes. The max-seq row per user equals the batch device's row —
+    the pytest pins that over an et-ordered micro-batch split."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        _funnel_update,
+        _FUNNEL_OUT_SCHEMA,
+        _FUNNEL_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

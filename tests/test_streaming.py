@@ -647,3 +647,62 @@ def test_top_users_stream_complete_mode(spark, tmp_path):
         ).collect()
     ]
     assert got == want and len(got) == 5
+
+
+def test_funnel_stream_matches_batch(spark, tmp_path):
+    """Streaming funnel == batch funnel: per user, the max-seq emission
+    from the drained 3-batch stream carries exactly the batch device's
+    stage times — including stages completed in DIFFERENT micro-batches
+    (state carry) and users who never emit (reached 0)."""
+    import pandas as pd
+
+    from pdf_parser_spark.timeseries import _funnel_core
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    ev["et"] = (ev["ts"] - pd.Timestamp(0)) // pd.Timedelta(microseconds=1)
+    ev = ev[["user_id", "event_id", "et", "event_type"]].sort_values(
+        ["et", "event_id"]
+    )
+    inp = tmp_path / "fun_in"
+    inp.mkdir()
+    n = len(ev)
+    step = -(-n // 3)
+    for i, lo in enumerate(range(0, n, step)):
+        ev.iloc[lo : lo + step].to_parquet(inp / f"b{i}.parquet", index=False)
+
+    stream = (
+        spark.readStream.schema(
+            "user_id long, event_id long, et long, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(inp))
+    )
+    q = (
+        streaming.funnel_event_stream(stream)
+        .writeStream.format("memory")
+        .queryName("funnel_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "fun_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql("select * from funnel_stream").toPandas()
+    last = got.loc[got.groupby("user_id")["seq"].idxmax()].set_index("user_id")
+
+    sdf = spark.createDataFrame(
+        ev, "user_id long, event_id long, et long, event_type string"
+    )
+    want = _funnel_core(sdf).toPandas().set_index("user_id")
+    # users with reached 0 never emit in the stream
+    for uid, w in want.iterrows():
+        if w["reached"] == 0:
+            assert uid not in last.index
+            continue
+        g = last.loc[uid]
+        for col in ("t_view", "t_click", "t_purchase"):
+            assert (pd.isna(g[col]) and pd.isna(w[col])) or g[col] == w[col], (uid, col)
+        assert g["reached"] == w["reached"]
+    assert len(last) > 0 and (want["reached"] > 0).any()
+    # multi-batch advance actually exercised: some user emitted >= twice
+    assert (got.groupby("user_id")["seq"].max() >= 2).any()
