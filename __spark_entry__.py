@@ -56,6 +56,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries into the tail (31 total), every one re-verified in
 # CORRECTNESS_SUPPLEMENT_r03.json.
 _OVERFLOW_TAIL = [
+    # displaced for padding_waste: doc_fingerprint is r2-era,
+    # judge-verified in round 2 and supplement-re-verified.
+    "doc_fingerprint",
     # displaced for json_props_stats / host_shortest_paths: both
     # round-3, supplement-verified, with dedicated pytests
     # (test_semdedup; tfidf broadcast plan pin).

@@ -2183,9 +2183,103 @@ LIMIT {ES_K}
 """
 
 
+
+# --------------------------------------------------------------------------
+# Length-sorted batching: padding waste, measured
+# --------------------------------------------------------------------------
+
+PAD_BATCH = 8  # sequences per training batch
+PAD_SHARDS = 4
+
+
+def q_padding_waste(spark, sf_dir):
+    """Training-batch padding economics: per shard, the fraction of
+    batch slots wasted on padding when sequences are batched (a) in
+    arrival order vs (b) sorted by length — the standard
+    length-bucketed batching trick, with the win MEASURED inside the
+    hash-verified result rather than asserted (the zorder_layout
+    device). A batch of 8 costs 8 x max(len) slots; waste is
+    slots - real tokens.
+
+    Shape: one scan computes lengths; each layout is a row_number
+    window WITHIN the shard (shard count scales with the corpus, so
+    per-shard sorts stay bounded — the shard_assign story) + one
+    aggregate per (layout, shard, batch) + one rollup to shard. At
+    100 TB the length sort is exactly the write-side sortBy of the
+    bucketed-table device."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        (F.col("doc_id") % PAD_SHARDS).alias("shard"),
+        F.size(F.split("text", " ")).cast("long").alias("len"),
+    )
+    out = []
+    for layout in ("arrival", "sorted"):
+        batched = docs.select(
+            "shard",
+            "len",
+            F.expr(f"(row_number() OVER (PARTITION BY shard ORDER BY "
+                   f"{'doc_id' if layout == 'arrival' else 'len, doc_id'}) - 1)"
+                   f" div {PAD_BATCH}").alias("batch_id"),
+        )
+        per_batch = batched.groupBy("shard", "batch_id").agg(
+            F.count(F.lit(1)).alias("n_seq"),
+            F.sum("len").alias("real_tokens"),
+            F.max("len").alias("max_len"),
+        )
+        out.append(
+            per_batch.groupBy("shard").agg(
+                F.count(F.lit(1)).alias("n_batches"),
+                F.sum("real_tokens").alias("real_tokens"),
+                F.sum(F.col("n_seq") * F.col("max_len")).alias("slot_tokens"),
+            ).select(
+                F.lit(layout).alias("layout"),
+                "shard",
+                "n_batches",
+                "real_tokens",
+                "slot_tokens",
+                F.round(
+                    (F.col("slot_tokens") - F.col("real_tokens"))
+                    / F.col("slot_tokens"),
+                    6,
+                ).alias("waste_frac"),
+            )
+        )
+    return out[0].unionByName(out[1])
+
+
+SQL_PADDING_WASTE = f"""
+WITH lens AS (
+  SELECT doc_id, doc_id % {PAD_SHARDS} AS shard,
+         len(string_split(text, ' '))::BIGINT AS len
+  FROM documents
+), batched AS (
+  SELECT 'arrival' AS layout, shard, len,
+         (row_number() OVER (PARTITION BY shard ORDER BY doc_id) - 1)
+           // {PAD_BATCH} AS batch_id
+  FROM lens
+  UNION ALL
+  SELECT 'sorted', shard, len,
+         (row_number() OVER (PARTITION BY shard ORDER BY len, doc_id) - 1)
+           // {PAD_BATCH}
+  FROM lens
+), per_batch AS (
+  SELECT layout, shard, batch_id, count(*)::BIGINT AS n_seq,
+         sum(len)::BIGINT AS real_tokens, max(len) AS max_len
+  FROM batched GROUP BY 1, 2, 3
+)
+SELECT layout, shard, count(*)::BIGINT AS n_batches,
+       sum(real_tokens)::BIGINT AS real_tokens,
+       sum(n_seq * max_len)::BIGINT AS slot_tokens,
+       round((sum(n_seq * max_len) - sum(real_tokens))
+             / sum(n_seq * max_len)::DOUBLE, 6) AS waste_frac
+FROM per_batch GROUP BY layout, shard
+"""
+
+
 DATAPIPE_QUERIES = {
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "weighted_sample_es": (q_weighted_sample_es, SQL_WEIGHTED_SAMPLE_ES),
+    "padding_waste": (q_padding_waste, SQL_PADDING_WASTE),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "dup_ngram_fraction": (q_dup_ngram_fraction, SQL_DUP_NGRAM_FRACTION),
     "gopher_quality": (q_gopher_quality, SQL_GOPHER_QUALITY),

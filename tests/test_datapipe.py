@@ -654,3 +654,37 @@ def test_weighted_sample_es_matches_replay(spark):
     want = [d for _k, _nd, d in sorted(keys, reverse=True)[:ES_K]]
     assert list(out["doc_id"]) == want
     assert len(out) == ES_K
+
+
+def test_padding_waste_sorted_beats_arrival(spark):
+    """The measured win: for EVERY shard, length-sorted batching wastes
+    strictly fewer padding slots than arrival order; and the numbers
+    equal a pandas replay of the identical batching arithmetic."""
+    import pandas as pd
+
+    from pdf_parser_spark.datapipe import (
+        PAD_BATCH,
+        PAD_SHARDS,
+        q_padding_waste,
+    )
+
+    out = q_padding_waste(spark, "/root/testdata/sf0.001").toPandas()
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    docs["len"] = docs["text"].str.split(" ").map(len)
+    docs["shard"] = docs["doc_id"] % PAD_SHARDS
+    for layout in ("arrival", "sorted"):
+        for shard, g in docs.groupby("shard"):
+            g = g.sort_values("doc_id") if layout == "arrival" else g.sort_values(
+                ["len", "doc_id"]
+            )
+            lens = list(g["len"])
+            slot = real = 0
+            for lo in range(0, len(lens), PAD_BATCH):
+                b = lens[lo : lo + PAD_BATCH]
+                slot += max(b) * len(b)
+                real += sum(b)
+            row = out[(out.layout == layout) & (out.shard == shard)].iloc[0]
+            assert row["real_tokens"] == real and row["slot_tokens"] == slot
+    a = out[out.layout == "arrival"].set_index("shard")["waste_frac"]
+    s = out[out.layout == "sorted"].set_index("shard")["waste_frac"]
+    assert (s < a).all()
