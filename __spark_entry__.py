@@ -56,6 +56,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries into the tail (31 total), every one re-verified in
 # CORRECTNESS_SUPPLEMENT_r03.json.
 _OVERFLOW_TAIL = [
+    # displaced for source_similarity / rate_anomaly: both round-3,
+    # supplement-verified, both pinned by the scan-only single-exchange
+    # plan test.
+    "mojibake_repair",
+    "line_dedup_in_doc",
     # displaced for padding_waste: doc_fingerprint is r2-era,
     # judge-verified in round 2 and supplement-re-verified.
     "doc_fingerprint",

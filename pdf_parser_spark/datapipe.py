@@ -2276,10 +2276,83 @@ FROM per_batch GROUP BY layout, shard
 """
 
 
+
+# --------------------------------------------------------------------------
+# Source-level vocabulary similarity (corpus redundancy profiling)
+# --------------------------------------------------------------------------
+
+
+def q_source_similarity(spark, sf_dir):
+    """Pairwise vocabulary Jaccard between sources — the corpus-
+    profiling pass that finds redundant feeds before mixture planning
+    (two mirrors of the same site should not both get full sample
+    rates). Exact sets at source granularity: the distinct
+    (source, token) frame self-joins ON TOKEN to count intersections
+    (candidates bounded by sources-per-token², never sources² x vocab),
+    marginal vocab sizes broadcast back, union by
+    inclusion-exclusion. At web scale the same plan runs on hashed
+    vocab samples (MinHash signatures per source) — the exact form is
+    kept because the grouped frame here is 20 sources."""
+    st = (
+        _docs(spark, sf_dir)
+        .select("source", F.explode(F.split("text", " ")).alias("token"))
+        .where(F.col("token") != "")
+        .distinct()
+    )
+    a = st.select(F.col("source").alias("src_a"), "token")
+    b = st.select(F.col("source").alias("src_b"), "token")
+    inter = (
+        a.join(b, "token")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = st.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    sa = F.broadcast(sizes.select(F.col("source").alias("src_a"), F.col("n").alias("n_a")))
+    sb = F.broadcast(sizes.select(F.col("source").alias("src_b"), F.col("n").alias("n_b")))
+    return (
+        inter.join(sa, "src_a")
+        .join(sb, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_inter",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+SQL_SOURCE_SIMILARITY = """
+WITH st AS (
+  SELECT DISTINCT source, t.token
+  FROM documents, unnest(string_split(text, ' ')) AS t(token)
+  WHERE t.token <> ''
+), inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*)::BIGINT AS n_inter
+  FROM st a JOIN st b ON a.token = b.token AND a.source < b.source
+  GROUP BY 1, 2
+), sizes AS (
+  SELECT source, count(*)::BIGINT AS n FROM st GROUP BY 1
+)
+SELECT i.src_a, i.src_b, i.n_inter, sa.n AS n_a, sb.n AS n_b,
+       round(i.n_inter / (sa.n + sb.n - i.n_inter)::DOUBLE, 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.src_a = sa.source
+JOIN sizes sb ON i.src_b = sb.source
+"""
+
+
 DATAPIPE_QUERIES = {
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "weighted_sample_es": (q_weighted_sample_es, SQL_WEIGHTED_SAMPLE_ES),
     "padding_waste": (q_padding_waste, SQL_PADDING_WASTE),
+    "source_similarity": (q_source_similarity, SQL_SOURCE_SIMILARITY),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "dup_ngram_fraction": (q_dup_ngram_fraction, SQL_DUP_NGRAM_FRACTION),
     "gopher_quality": (q_gopher_quality, SQL_GOPHER_QUALITY),

@@ -807,6 +807,92 @@ SELECT event_type, count(*)::BIGINT AS n_events,
 FROM ev GROUP BY event_type
 """
 
+
+# --------------------------------------------------------------------------
+# Rate anomaly: integer-exact 2-sigma test vs trailing history
+# --------------------------------------------------------------------------
+
+ANOM_HIST_DAYS = 14
+ANOM_MIN_HIST = 7
+ANOM_K = 2  # flag |c - mean| > K * sample std
+
+
+def q_rate_anomaly(spark, sf_dir):
+    """Daily event-rate anomalies per type: flag days whose count
+    deviates from the trailing 14-day history by more than 2 sample
+    standard deviations — monitoring over the pipeline's own event
+    stream, WITHOUT floating point: the test
+    |c - s/n| > K * sqrt((n*q - s²)/(n*(n-1))) is cross-multiplied to
+    the integer comparison (c*n - s)² * (n-1) > K² * n * (n*q - s²),
+    so the flag is bit-identical across engines — no std ulp, no sqrt.
+    (At counts near 2^31 the squares need the decimal path; counts here
+    are day-grain and the docstringed overflow bound is ~3*10^9.)
+
+    Shape: one map-side-combined daily aggregate, then three RANGE
+    windows (count/sum/sum-of-squares over days -14..-1, EXCLUDING the
+    tested day) sharing one exchange over the tiny (type, day) frame;
+    days with under 7 history days are emitted unflagged with
+    n_hist visible, never silently dropped."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("day"),
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rangeBetween(-ANOM_HIST_DAYS, -1)
+    )
+    hist = daily.select(
+        "event_type",
+        "day",
+        "c",
+        F.count("c").over(w).alias("n_hist"),
+        F.coalesce(F.sum("c").over(w), F.lit(0)).alias("s"),
+        F.coalesce(F.sum(F.col("c") * F.col("c")).over(w), F.lit(0)).alias("q"),
+    )
+    dev = F.col("c") * F.col("n_hist") - F.col("s")
+    var_num = F.col("n_hist") * F.col("q") - F.col("s") * F.col("s")
+    return hist.select(
+        "event_type",
+        "day",
+        "c",
+        "n_hist",
+        "s",
+        (
+            (F.col("n_hist") >= ANOM_MIN_HIST)
+            & (dev * dev * (F.col("n_hist") - 1)
+               > ANOM_K * ANOM_K * F.col("n_hist") * var_num)
+        ).alias("anomaly"),
+    )
+
+
+SQL_RATE_ANOMALY = f"""
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '1970-01-01', ts::DATE)::BIGINT AS day,
+         count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2
+), hist AS (
+  SELECT event_type, day, c,
+         count(c) OVER w::BIGINT AS n_hist,
+         COALESCE(sum(c) OVER w, 0)::BIGINT AS s,
+         COALESCE(sum(c * c) OVER w, 0)::BIGINT AS q
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               RANGE BETWEEN {ANOM_HIST_DAYS} PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, day, c, n_hist, s,
+       (n_hist >= {ANOM_MIN_HIST}
+        AND (c * n_hist - s) * (c * n_hist - s) * (n_hist - 1)
+            > {ANOM_K * ANOM_K} * n_hist * (n_hist * q - s * s)) AS anomaly
+FROM hist
+"""
+
 TIMESERIES_QUERIES: dict[str, tuple] = {
     "asof_join_events": (q_asof_join_events, SQL_ASOF_JOIN_EVENTS),
     "rollup_revenue": (q_rollup_revenue, SQL_ROLLUP_REVENUE),
@@ -820,4 +906,5 @@ TIMESERIES_QUERIES: dict[str, tuple] = {
     "outlier_mad": (q_outlier_mad, SQL_OUTLIER_MAD),
     "interval_overlap_join": (q_interval_overlap_join, SQL_INTERVAL_OVERLAP_JOIN),
     "json_props_stats": (q_json_props_stats, SQL_JSON_PROPS_STATS),
+    "rate_anomaly": (q_rate_anomaly, SQL_RATE_ANOMALY),
 }

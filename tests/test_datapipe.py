@@ -688,3 +688,23 @@ def test_padding_waste_sorted_beats_arrival(spark):
     a = out[out.layout == "arrival"].set_index("shard")["waste_frac"]
     s = out[out.layout == "sorted"].set_index("shard")["waste_frac"]
     assert (s < a).all()
+
+
+def test_source_similarity_matches_pandas(spark):
+    """Pairwise source-vocabulary Jaccard equals a pandas set replay for
+    every pair, and similarity differentiates across pairs."""
+    import pandas as pd
+
+    from pdf_parser_spark.datapipe import q_source_similarity
+
+    out = q_source_similarity(spark, "/root/testdata/sf0.001").toPandas()
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    vocab: dict[str, set] = {}
+    for r in docs.itertuples():
+        vocab.setdefault(r.source, set()).update(w for w in r.text.split() if w)
+    for r in out.itertuples():
+        a, b = vocab[r.src_a], vocab[r.src_b]
+        assert r.n_inter == len(a & b)
+        assert r.n_a == len(a) and r.n_b == len(b)
+        assert r.jaccard == round(len(a & b) / len(a | b), 6)
+    assert out["jaccard"].nunique() > 1

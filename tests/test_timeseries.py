@@ -317,3 +317,47 @@ def test_json_props_stats_matches_pandas(spark):
         assert row["k_med"] == pytest.approx(
             round(ks.quantile(0.5, interpolation="linear"), 4), abs=1e-9
         )
+
+
+def test_rate_anomaly_integer_test_and_spike(spark):
+    """The cross-multiplied integer 2-sigma test equals a float replay
+    on the fixture (no flag disagreements), and a PLANTED 10x spike day
+    is flagged — the anomaly branch provably binds."""
+    import math
+
+    out = ts.q_rate_anomaly(spark, SF_DIR).toPandas()
+    # float replay
+    for r in out.itertuples():
+        if r.n_hist >= ts.ANOM_MIN_HIST:
+            g = out[(out.event_type == r.event_type)
+                    & (out.day >= r.day - ts.ANOM_HIST_DAYS) & (out.day < r.day)]
+            cs = list(g["c"])
+            mean = sum(cs) / len(cs)
+            var = sum((x - mean) ** 2 for x in cs) / (len(cs) - 1)
+            want = abs(r.c - mean) > ts.ANOM_K * math.sqrt(var)
+            assert bool(r.anomaly) == want, (r.event_type, r.day)
+        else:
+            assert not r.anomaly
+    # planted spike: 14 quiet days then one 10x day
+    rows = [("x", d, 100 + (d % 3)) for d in range(14)] + [("x", 14, 1000)]
+    daily = spark.createDataFrame(rows, "event_type string, day long, c long")
+    from pyspark.sql import Window, functions as F
+
+    w = Window.partitionBy("event_type").orderBy("day").rangeBetween(
+        -ts.ANOM_HIST_DAYS, -1
+    )
+    hist = daily.select(
+        "event_type", "day", "c",
+        F.count("c").over(w).alias("n_hist"),
+        F.coalesce(F.sum("c").over(w), F.lit(0)).alias("s"),
+        F.coalesce(F.sum(F.col("c") * F.col("c")).over(w), F.lit(0)).alias("q"),
+    )
+    dev = F.col("c") * F.col("n_hist") - F.col("s")
+    var_num = F.col("n_hist") * F.col("q") - F.col("s") * F.col("s")
+    flag = hist.select(
+        "day",
+        ((F.col("n_hist") >= ts.ANOM_MIN_HIST)
+         & (dev * dev * (F.col("n_hist") - 1)
+            > ts.ANOM_K ** 2 * F.col("n_hist") * var_num)).alias("anomaly"),
+    ).toPandas().set_index("day")["anomaly"]
+    assert bool(flag.loc[14]) and not flag.loc[:13].any()
