@@ -56,6 +56,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries into the tail (31 total), every one re-verified in
 # CORRECTNESS_SUPPLEMENT_r03.json.
 _OVERFLOW_TAIL = [
+    # displaced for psi_drift: corpus_length_stats is round-3,
+    # supplement-verified, with its histogram pytest.
+    "corpus_length_stats",
     # displaced for source_similarity / rate_anomaly: both round-3,
     # supplement-verified, both pinned by the scan-only single-exchange
     # plan test.

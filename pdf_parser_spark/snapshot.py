@@ -633,9 +633,104 @@ FROM j WHERE n_h IS NOT NULL AND (p_h IS NULL OR n_h <> p_h)
 """
 
 
+
+# --------------------------------------------------------------------------
+# psi_drift — population stability index between snapshots
+# --------------------------------------------------------------------------
+
+PSI_BUCKETS = 10
+
+
+def q_psi_drift(spark, sf_dir):
+    """Distribution drift between the prior and new snapshots on
+    document token length, as the Population Stability Index — the
+    standard drift monitor a production corpus pipeline runs per
+    snapshot roll (PSI > 0.2 = retrain/investigate).
+
+    Buckets are the PRIOR snapshot's deciles (one exact-percentile
+    aggregate → a 1-row break array crossJoin-broadcast onto the scan;
+    assignment is size(filter(breaks, b -> b <= x)) — in-row, no join
+    per row). Decile breaks that land on data values are exact
+    integers in both engines, and interpolated breaks can never tie an
+    integer token count, so bucket assignment is cross-engine stable
+    without rounding tricks. Per bucket: both shares and the PSI
+    contribution (eps-guarded ln ratio, round 6). At 10^12 rows the
+    exact percentile becomes approx_percentile and nothing else
+    changes."""
+    snaps = _snaps(spark, sf_dir)
+    slim = snaps.select(
+        "snap", F.size(F.split("text", " ")).cast("long").alias("tok")
+    )
+    qs = ", ".join(f"{i / PSI_BUCKETS}D" for i in range(1, PSI_BUCKETS))
+    breaks = (
+        slim.where(F.col("snap") == "prior")
+        .agg(F.expr(f"percentile(tok, array({qs}))").alias("brk"))
+    )
+    bucketed = (
+        slim.crossJoin(F.broadcast(breaks))
+        .select(
+            "snap",
+            F.expr("size(filter(brk, b -> b <= tok))").alias("bucket"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum((F.col("snap") == "prior").cast("long")).alias("n_prior"),
+            F.sum((F.col("snap") == "new").cast("long")).alias("n_new"),
+        )
+    )
+    tot = bucketed.agg(
+        F.sum("n_prior").alias("t_prior"), F.sum("n_new").alias("t_new")
+    )
+    eps = 1e-6
+    p = F.col("n_prior") / F.col("t_prior") + eps
+    q = F.col("n_new") / F.col("t_new") + eps
+    return bucketed.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "n_prior",
+        "n_new",
+        F.round(p - eps, 6).alias("share_prior"),
+        F.round(q - eps, 6).alias("share_new"),
+        F.round((q - p) * F.log(q / p), 6).alias("psi_term"),
+    )
+
+
+def _sql_psi_drift(sf: str) -> str:
+    ensure_snap_corpus(sf)
+    qs = ", ".join(str(i / PSI_BUCKETS) for i in range(1, PSI_BUCKETS))
+    return f"""
+WITH slim AS (
+  SELECT snap, len(string_split(text, ' '))::BIGINT AS tok
+  FROM read_parquet('{snap_path(sf)}')
+), brk AS (
+  SELECT quantile_cont(tok, [{qs}]) AS brk
+  FROM slim WHERE snap = 'prior'
+), bucketed AS (
+  SELECT s.snap,
+         len(list_filter(b.brk, x -> x <= s.tok))::INT AS bucket
+  FROM slim s CROSS JOIN brk b
+), counts AS (
+  SELECT bucket,
+         SUM(CASE WHEN snap = 'prior' THEN 1 ELSE 0 END)::BIGINT AS n_prior,
+         SUM(CASE WHEN snap = 'new' THEN 1 ELSE 0 END)::BIGINT AS n_new
+  FROM bucketed GROUP BY bucket
+), tot AS (
+  SELECT SUM(n_prior)::BIGINT AS t_prior, SUM(n_new)::BIGINT AS t_new
+  FROM counts
+)
+SELECT bucket, n_prior, n_new,
+       round(n_prior / t_prior::DOUBLE, 6) AS share_prior,
+       round(n_new / t_new::DOUBLE, 6) AS share_new,
+       round((n_new / t_new::DOUBLE + 1e-6 - n_prior / t_prior::DOUBLE - 1e-6)
+             * ln((n_new / t_new::DOUBLE + 1e-6)
+                  / (n_prior / t_prior::DOUBLE + 1e-6)), 6) AS psi_term
+FROM counts CROSS JOIN tot
+"""
+
+
 SNAPSHOT_QUERIES = {
     "bloom_dedup": (q_bloom_dedup, _sql_bloom_dedup),
     "snapshot_diff": (q_snapshot_diff, _sql_snapshot_diff),
     "ivm_source_counts": (q_ivm_source_counts, _sql_ivm_source_counts),
     "scd2_merge": (q_scd2_merge, _sql_scd2_merge),
+    "psi_drift": (q_psi_drift, _sql_psi_drift),
 }

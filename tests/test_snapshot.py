@@ -176,3 +176,34 @@ def test_scd2_version_semantics(spark):
         else:  # added
             assert len(g) == 1 and len(cur) == 1 and cur.iloc[0]["valid_from"] == 2
     assert set(diff.index) == set(scd["doc_id"])
+
+
+def test_psi_drift_semantics(spark):
+    """PSI terms are individually non-negative (an information-
+    divergence property), shares sum to 1 per snapshot, bucket counts
+    equal a pandas replay using pandas' own decile breaks (bucket
+    assignment is break-ulp-insensitive because integer token counts
+    never tie interpolated breaks), and drift actually registers
+    (total PSI > 0)."""
+    import pandas as pd
+
+    out = sn.q_psi_drift(spark, SF_DIR).toPandas()
+    assert (out["psi_term"] >= 0).all()
+    assert abs(out["share_prior"].sum() - 1) < 1e-4
+    assert abs(out["share_new"].sum() - 1) < 1e-4
+    assert out["psi_term"].sum() > 0
+    rows = sn.gen_snapshots(sn.snap_docs_for_sf(0.001))
+    df = pd.DataFrame(rows)
+    df["tok"] = df["text"].str.split(" ").map(len)
+    brk = list(
+        df[df.snap == "prior"]["tok"].quantile(
+            [i / sn.PSI_BUCKETS for i in range(1, sn.PSI_BUCKETS)],
+            interpolation="linear",
+        )
+    )
+    df["bucket"] = df["tok"].map(lambda x: sum(1 for b in brk if b <= x))
+    want = df.groupby(["bucket", "snap"]).size().unstack(fill_value=0)
+    got = out.set_index("bucket").sort_index()
+    for b in got.index:
+        assert got.loc[b, "n_prior"] == want.loc[b].get("prior", 0)
+        assert got.loc[b, "n_new"] == want.loc[b].get("new", 0)
