@@ -56,6 +56,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries into the tail (31 total), every one re-verified in
 # CORRECTNESS_SUPPLEMENT_r03.json.
 _OVERFLOW_TAIL = [
+    # displaced for rate_trend / revenue_share: both round-3,
+    # supplement-verified (chunk_text also has its slicing pytest;
+    # pps_sample its two-phase prefix pytest).
+    "chunk_text",
+    "pps_sample",
     # displaced for psi_drift: corpus_length_stats is round-3,
     # supplement-verified, with its histogram pytest.
     "corpus_length_stats",

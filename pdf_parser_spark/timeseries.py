@@ -893,6 +893,124 @@ SELECT event_type, day, c, n_hist, s,
 FROM hist
 """
 
+
+# --------------------------------------------------------------------------
+# rate_trend — integer-exact OLS slope of daily volume per type
+# --------------------------------------------------------------------------
+
+
+def q_rate_trend(spark, sf_dir):
+    """Daily-volume trend per event type as the OLS slope over
+    (day, count) — is this feed growing or dying — computed
+    INTEGER-EXACTLY: slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²) is emitted
+    as its BIGINT numerator and denominator (bit-identical across
+    engines; counts and day indexes are ints) next to the rounded
+    ratio. One map-side-combined daily aggregate + one 5-row moment
+    aggregate; the moments are mergeable sums, so the same pass runs at
+    any scale."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("day"),
+    )
+    daily = ev.groupBy("event_type", "day").agg(F.count(F.lit(1)).alias("c"))
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("day").alias("sx"),
+        F.sum("c").alias("sy"),
+        F.sum(F.col("day") * F.col("c")).alias("sxy"),
+        F.sum(F.col("day") * F.col("day")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return m.select(
+        "event_type",
+        "n",
+        num.alias("slope_num"),
+        den.alias("slope_den"),
+        F.round(num / den, 6).alias("slope"),
+        (num > 0).alias("growing"),
+    )
+
+
+SQL_RATE_TREND = """
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '1970-01-01', ts::DATE)::BIGINT AS day,
+         count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2
+), m AS (
+  SELECT event_type, count(*)::BIGINT AS n, sum(day)::BIGINT AS sx,
+         sum(c)::BIGINT AS sy, sum(day * c)::BIGINT AS sxy,
+         sum(day * day)::BIGINT AS sxx
+  FROM daily GROUP BY 1
+)
+SELECT event_type, n,
+       (n * sxy - sx * sy)::BIGINT AS slope_num,
+       (n * sxx - sx * sx)::BIGINT AS slope_den,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx)::DOUBLE, 6) AS slope,
+       (n * sxy - sx * sy) > 0 AS growing
+FROM m
+"""
+
+
+# --------------------------------------------------------------------------
+# revenue_share — ratio-to-report window
+# --------------------------------------------------------------------------
+
+
+def q_revenue_share(spark, sf_dir):
+    """Each nation's share of its year's total revenue — the classic
+    ratio-to-report window: one aggregate to (nation, year) integer
+    ten-thousandth cells, then a window SUM partitioned by year over
+    the tiny grouped frame (the windowed input is nations x years, the
+    corpus never enters a window). Shares are exact-integer ratios
+    rounded at 6."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.round(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4) * 10000)
+        .cast("long")
+        .alias("rev_e4"),
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year")
+    )
+    cust = F.broadcast(_t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"))
+    nation = F.broadcast(_t(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
+    cells = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "o_year")
+        .agg(F.sum("rev_e4").alias("rev_e4"))
+    )
+    w = Window.partitionBy("o_year")
+    return cells.select(
+        "n_name",
+        "o_year",
+        F.round(F.col("rev_e4") / 10000.0, 2).alias("revenue"),
+        F.round(F.col("rev_e4") / F.sum("rev_e4").over(w), 6).alias("share"),
+    )
+
+
+SQL_REVENUE_SHARE = """
+WITH cells AS (
+  SELECT n_name, date_part('year', o_orderdate)::INT AS o_year,
+         SUM(round(round(l_extendedprice * (1 - l_discount), 4) * 10000)::BIGINT)
+           AS rev_e4
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+)
+SELECT n_name, o_year, round(rev_e4 / 10000.0, 2) AS revenue,
+       round(rev_e4 / (SUM(rev_e4) OVER (PARTITION BY o_year))::DOUBLE, 6)
+         AS share
+FROM cells
+"""
+
 TIMESERIES_QUERIES: dict[str, tuple] = {
     "asof_join_events": (q_asof_join_events, SQL_ASOF_JOIN_EVENTS),
     "rollup_revenue": (q_rollup_revenue, SQL_ROLLUP_REVENUE),
@@ -907,4 +1025,6 @@ TIMESERIES_QUERIES: dict[str, tuple] = {
     "interval_overlap_join": (q_interval_overlap_join, SQL_INTERVAL_OVERLAP_JOIN),
     "json_props_stats": (q_json_props_stats, SQL_JSON_PROPS_STATS),
     "rate_anomaly": (q_rate_anomaly, SQL_RATE_ANOMALY),
+    "rate_trend": (q_rate_trend, SQL_RATE_TREND),
+    "revenue_share": (q_revenue_share, SQL_REVENUE_SHARE),
 }

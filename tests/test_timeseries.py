@@ -361,3 +361,26 @@ def test_rate_anomaly_integer_test_and_spike(spark):
             > ts.ANOM_K ** 2 * F.col("n_hist") * var_num)).alias("anomaly"),
     ).toPandas().set_index("day")["anomaly"]
     assert bool(flag.loc[14]) and not flag.loc[:13].any()
+
+
+def test_rate_trend_and_share_semantics(spark):
+    """rate_trend's rational slope equals numpy polyfit per type (and
+    growing == slope_num > 0); revenue_share sums to 1 within each year
+    and equals each nation's cell over the year total."""
+    import numpy as np
+
+    tr = ts.q_rate_trend(spark, SF_DIR).toPandas().set_index("event_type")
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    ev["day"] = (ev["ts"].dt.normalize() - pd.Timestamp(0)).dt.days
+    for etype, g in ev.groupby("event_type"):
+        daily = g.groupby("day").size()
+        slope = np.polyfit(daily.index.to_numpy(), daily.to_numpy(), 1)[0]
+        assert tr.loc[etype, "slope"] == pytest.approx(slope, abs=1e-4)
+        assert bool(tr.loc[etype, "growing"]) == (tr.loc[etype, "slope_num"] > 0)
+
+    sh = ts.q_revenue_share(spark, SF_DIR).toPandas()
+    for year, g in sh.groupby("o_year"):
+        assert g["share"].sum() == pytest.approx(1.0, abs=1e-4)
+        tot = g["revenue"].sum()
+        for r in g.itertuples():
+            assert r.share == pytest.approx(r.revenue / tot, abs=1e-4)
