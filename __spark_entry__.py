@@ -56,6 +56,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries into the tail (31 total), every one re-verified in
 # CORRECTNESS_SUPPLEMENT_r03.json.
 _OVERFLOW_TAIL = [
+    # displaced for data_quality_checks: domain_cap is round-3,
+    # supplement-verified, with its hierarchical-window plan pin.
+    "domain_cap",
     # displaced for rate_trend / revenue_share: both round-3,
     # supplement-verified (chunk_text also has its slicing pytest;
     # pps_sample its two-phase prefix pytest).

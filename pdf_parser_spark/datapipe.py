@@ -2348,11 +2348,121 @@ JOIN sizes sb ON i.src_b = sb.source
 """
 
 
+
+# --------------------------------------------------------------------------
+# data_quality_checks — data-contract audit in one pass per table
+# --------------------------------------------------------------------------
+
+DQ_LANGS = ("en", "de", "es", "fr", "zh")
+DQ_EVENT_TYPES = ("view", "click", "purchase", "signup", "error")
+
+
+def q_data_quality_checks(spark, sf_dir):
+    """The data-contract gate (dbt-test shape) as ONE aggregate pass per
+    table: every check is a conditional sum over the same scan, so the
+    whole audit costs two table scans however many checks run — never
+    one query per check. Emits (check, n_rows, n_violations, pass)
+    rows; a violation count, not a boolean, so partial corruption is
+    quantified. Checks: doc_id uniqueness (count vs distinct — the one
+    check needing a second aggregate, on the slim id column), n_chars
+    bounds + text/n_chars consistency, lang domain, event_type domain,
+    value bounds, ts within the fixture epoch."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "lang", "n_chars", F.length("text").alias("text_len")
+    )
+    d = docs.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((~F.col("lang").isin(*DQ_LANGS)).cast("long")).alias("lang_domain"),
+        F.sum((F.col("n_chars") < 0).cast("long")).alias("n_chars_nonneg"),
+        F.sum((F.col("n_chars") != F.col("text_len")).cast("long")).alias(
+            "n_chars_consistent"
+        ),
+        (F.count(F.lit(1)) - F.countDistinct("doc_id")).alias("doc_id_unique"),
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((~F.col("event_type").isin(*DQ_EVENT_TYPES)).cast("long")).alias(
+            "event_type_domain"
+        ),
+        F.sum(
+            ((F.col("value") < 0) | (F.col("value") > 10000)).cast("long")
+        ).alias("value_bounds"),
+        F.sum(
+            (F.year("ts") < 2024).cast("long") + (F.year("ts") > 2025).cast("long")
+        ).alias("ts_epoch"),
+    )
+
+    def unpivot(agg_df, table, checks):
+        return agg_df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(f"{table}.{c}").alias("check"),
+                            F.col("n_rows").alias("n_rows"),
+                            F.col(c).alias("n_violations"),
+                        )
+                        for c in checks
+                    ]
+                )
+            ).alias("r")
+        ).select("r.check", "r.n_rows", "r.n_violations")
+
+    out = unpivot(
+        d, "documents",
+        ["lang_domain", "n_chars_nonneg", "n_chars_consistent", "doc_id_unique"],
+    ).unionByName(
+        unpivot(ev, "events", ["event_type_domain", "value_bounds", "ts_epoch"])
+    )
+    return out.select(
+        "check", "n_rows", "n_violations", (F.col("n_violations") == 0).alias("ok")
+    )
+
+
+SQL_DATA_QUALITY_CHECKS = f"""
+WITH d AS (
+  SELECT count(*)::BIGINT AS n_rows,
+         SUM(CASE WHEN lang NOT IN ({", ".join(repr(v) for v in DQ_LANGS)})
+                  THEN 1 ELSE 0 END)::BIGINT AS lang_domain,
+         SUM(CASE WHEN n_chars < 0 THEN 1 ELSE 0 END)::BIGINT AS n_chars_nonneg,
+         SUM(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)::BIGINT
+           AS n_chars_consistent,
+         (count(*) - count(DISTINCT doc_id))::BIGINT AS doc_id_unique
+  FROM documents
+), e AS (
+  SELECT count(*)::BIGINT AS n_rows,
+         SUM(CASE WHEN event_type NOT IN
+                  ({", ".join(repr(v) for v in DQ_EVENT_TYPES)})
+                  THEN 1 ELSE 0 END)::BIGINT AS event_type_domain,
+         SUM(CASE WHEN value < 0 OR value > 10000 THEN 1 ELSE 0 END)::BIGINT
+           AS value_bounds,
+         SUM(CASE WHEN date_part('year', ts) < 2024 THEN 1 ELSE 0 END
+             + CASE WHEN date_part('year', ts) > 2025 THEN 1 ELSE 0 END)::BIGINT
+           AS ts_epoch
+  FROM events
+)
+SELECT 'documents.lang_domain' AS check, n_rows, lang_domain AS n_violations,
+       lang_domain = 0 AS ok FROM d
+UNION ALL SELECT 'documents.n_chars_nonneg', n_rows, n_chars_nonneg,
+       n_chars_nonneg = 0 FROM d
+UNION ALL SELECT 'documents.n_chars_consistent', n_rows, n_chars_consistent,
+       n_chars_consistent = 0 FROM d
+UNION ALL SELECT 'documents.doc_id_unique', n_rows, doc_id_unique,
+       doc_id_unique = 0 FROM d
+UNION ALL SELECT 'events.event_type_domain', n_rows, event_type_domain,
+       event_type_domain = 0 FROM e
+UNION ALL SELECT 'events.value_bounds', n_rows, value_bounds,
+       value_bounds = 0 FROM e
+UNION ALL SELECT 'events.ts_epoch', n_rows, ts_epoch, ts_epoch = 0 FROM e
+"""
+
+
 DATAPIPE_QUERIES = {
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "weighted_sample_es": (q_weighted_sample_es, SQL_WEIGHTED_SAMPLE_ES),
     "padding_waste": (q_padding_waste, SQL_PADDING_WASTE),
     "source_similarity": (q_source_similarity, SQL_SOURCE_SIMILARITY),
+    "data_quality_checks": (q_data_quality_checks, SQL_DATA_QUALITY_CHECKS),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "dup_ngram_fraction": (q_dup_ngram_fraction, SQL_DUP_NGRAM_FRACTION),
     "gopher_quality": (q_gopher_quality, SQL_GOPHER_QUALITY),

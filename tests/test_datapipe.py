@@ -708,3 +708,42 @@ def test_source_similarity_matches_pandas(spark):
         assert r.n_a == len(a) and r.n_b == len(b)
         assert r.jaccard == round(len(a & b) / len(a | b), 6)
     assert out["jaccard"].nunique() > 1
+
+
+def test_data_quality_checks_catch_planted_corruption(spark, tmp_path):
+    """On the clean fixture every check passes; on a COPY with planted
+    violations (dup doc_id, bad lang, inconsistent n_chars, bad
+    event_type, out-of-range value, wrong-epoch ts) each targeted check
+    reports exactly the planted violation count — the gate can actually
+    fail."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from pdf_parser_spark.datapipe import q_data_quality_checks
+
+    clean = q_data_quality_checks(spark, "/root/testdata/sf0.001").toPandas()
+    assert clean["ok"].all() and len(clean) == 7
+
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.loc[docs.index[0], "doc_id"] = docs.loc[docs.index[1], "doc_id"]  # dup
+    docs.loc[docs.index[2], "lang"] = "xx"
+    docs.loc[docs.index[3], "n_chars"] = docs.loc[docs.index[3], "n_chars"] + 1
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    ev.loc[ev.index[0], "event_type"] = "bogus"
+    ev.loc[ev.index[1], "value"] = -5.0
+    ev.loc[ev.index[2], "ts"] = pd.Timestamp(dt.datetime(2020, 1, 1)).as_unit("us")
+    docs.to_parquet(tmp_path / "documents.parquet", index=False)
+    ev.to_parquet(tmp_path / "events.parquet", index=False)
+
+    out = (
+        q_data_quality_checks(spark, str(tmp_path))
+        .toPandas()
+        .set_index("check")["n_violations"]
+    )
+    assert out["documents.doc_id_unique"] == 1
+    assert out["documents.lang_domain"] == 1
+    assert out["documents.n_chars_consistent"] == 1
+    assert out["events.event_type_domain"] == 1
+    assert out["events.value_bounds"] == 1
+    assert out["events.ts_epoch"] == 1
