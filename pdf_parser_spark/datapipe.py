@@ -2457,12 +2457,90 @@ UNION ALL SELECT 'events.ts_epoch', n_rows, ts_epoch, ts_epoch = 0 FROM e
 """
 
 
+
+# --------------------------------------------------------------------------
+# referential_integrity — FK orphan audit across the star schema
+# --------------------------------------------------------------------------
+
+
+def q_referential_integrity(spark, sf_dir):
+    """Cross-table contract: orphan counts for every foreign-key edge of
+    the star schema (lineitem→orders/part/supplier, orders→customer,
+    customer→nation, nation→region) — the referential audit that runs
+    before any join-dependent pipeline stage trusts its dims.
+
+    Each edge is one LEFT ANTI join counting children whose key misses
+    the parent — the dim side broadcasts (it is the smaller side by
+    construction), so the audit costs one scan per child table and no
+    wide shuffle. Counts, not booleans (partial corruption is
+    quantified); n_child rides along so orphan RATES are computable
+    downstream."""
+
+    def edge(name, child, ckey, parent, pkey):
+        c = _t_any(spark, sf_dir, child).select(F.col(ckey).alias("k"))
+        p = _t_any(spark, sf_dir, parent).select(F.col(pkey).alias("k")).distinct()
+        n_child = c.count()
+        n_orphans = c.join(F.broadcast(p), "k", "left_anti").count()
+        return (name, n_child, n_orphans)
+
+    rows = [
+        edge("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        edge("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        edge("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        edge("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        edge("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        edge("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    return spark.createDataFrame(
+        [(n, c, o, o == 0) for n, c, o in rows],
+        "fk string, n_child long, n_orphans long, ok boolean",
+    )
+
+
+def _t_any(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+SQL_REFERENTIAL_INTEGRITY = """
+SELECT 'lineitem.l_orderkey->orders' AS fk, count(*)::BIGINT AS n_child,
+       SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_orphans,
+       SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) = 0 AS ok
+FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+UNION ALL
+SELECT 'lineitem.l_partkey->part', count(*),
+       SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END),
+       SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) = 0
+FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+UNION ALL
+SELECT 'lineitem.l_suppkey->supplier', count(*),
+       SUM(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END),
+       SUM(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END) = 0
+FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+UNION ALL
+SELECT 'orders.o_custkey->customer', count(*),
+       SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END),
+       SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) = 0
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+UNION ALL
+SELECT 'customer.c_nationkey->nation', count(*),
+       SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END),
+       SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) = 0
+FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+UNION ALL
+SELECT 'nation.n_regionkey->region', count(*),
+       SUM(CASE WHEN r.r_regionkey IS NULL THEN 1 ELSE 0 END),
+       SUM(CASE WHEN r.r_regionkey IS NULL THEN 1 ELSE 0 END) = 0
+FROM nation n LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+"""
+
+
 DATAPIPE_QUERIES = {
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "weighted_sample_es": (q_weighted_sample_es, SQL_WEIGHTED_SAMPLE_ES),
     "padding_waste": (q_padding_waste, SQL_PADDING_WASTE),
     "source_similarity": (q_source_similarity, SQL_SOURCE_SIMILARITY),
     "data_quality_checks": (q_data_quality_checks, SQL_DATA_QUALITY_CHECKS),
+    "referential_integrity": (q_referential_integrity, SQL_REFERENTIAL_INTEGRITY),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "dup_ngram_fraction": (q_dup_ngram_fraction, SQL_DUP_NGRAM_FRACTION),
     "gopher_quality": (q_gopher_quality, SQL_GOPHER_QUALITY),

@@ -747,3 +747,34 @@ def test_data_quality_checks_catch_planted_corruption(spark, tmp_path):
     assert out["events.event_type_domain"] == 1
     assert out["events.value_bounds"] == 1
     assert out["events.ts_epoch"] == 1
+
+
+def test_referential_integrity_counts_planted_orphans(spark, tmp_path):
+    """On the clean fixture every FK edge reports 0 orphans; on a COPY
+    with planted orphans (2 lineitems pointing at a missing part, 1
+    order pointing at a missing customer) the audit reports exactly
+    those counts on exactly those edges — the gate can actually fail."""
+    import pandas as pd
+
+    from pdf_parser_spark.datapipe import q_referential_integrity
+
+    clean = q_referential_integrity(spark, "/root/testdata/sf0.001").toPandas()
+    assert len(clean) == 6 and clean["ok"].all()
+    assert (clean["n_orphans"] == 0).all() and (clean["n_child"] > 0).all()
+
+    for name in ("lineitem", "orders", "part", "supplier", "customer", "nation", "region"):
+        df = pd.read_parquet(f"/root/testdata/sf0.001/{name}.parquet")
+        if name == "lineitem":
+            df.loc[df.index[:2], "l_partkey"] = -999
+        if name == "orders":
+            df.loc[df.index[0], "o_custkey"] = -999
+        df.to_parquet(tmp_path / f"{name}.parquet", index=False)
+
+    out = (
+        q_referential_integrity(spark, str(tmp_path))
+        .toPandas()
+        .set_index("fk")["n_orphans"]
+    )
+    assert out["lineitem.l_partkey->part"] == 2
+    assert out["orders.o_custkey->customer"] == 1
+    assert out.drop(["lineitem.l_partkey->part", "orders.o_custkey->customer"]).eq(0).all()
