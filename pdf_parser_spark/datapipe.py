@@ -2469,32 +2469,68 @@ def q_referential_integrity(spark, sf_dir):
     customer→nation, nation→region) — the referential audit that runs
     before any join-dependent pipeline stage trusts its dims.
 
-    Each edge is one LEFT ANTI join counting children whose key misses
-    the parent — the dim side broadcasts (it is the smaller side by
-    construction), so the audit costs one scan per child table and no
-    wide shuffle. Counts, not booleans (partial corruption is
-    quantified); n_child rides along so orphan RATES are computable
-    downstream."""
+    One scan per CHILD table total: every parent dim a child references
+    is broadcast-left-joined onto that one scan (dims are the small side
+    by construction — no wide shuffle), all of the child's edge counts
+    come out of a single aggregate, and the per-edge rows are exploded
+    from that one agg row, so lineitem is read once for its three edges
+    — not six times as the eager per-edge anti-join form would. The
+    whole audit is one lazy plan (no driver-side count() loop). Counts,
+    not booleans (partial corruption is quantified); n_child rides
+    along so orphan RATES are computable downstream."""
 
-    def edge(name, child, ckey, parent, pkey):
-        c = _t_any(spark, sf_dir, child).select(F.col(ckey).alias("k"))
-        p = _t_any(spark, sf_dir, parent).select(F.col(pkey).alias("k")).distinct()
-        n_child = c.count()
-        n_orphans = c.join(F.broadcast(p), "k", "left_anti").count()
-        return (name, n_child, n_orphans)
+    schema_edges = {
+        "lineitem": [
+            ("lineitem.l_orderkey->orders", "l_orderkey", "orders", "o_orderkey"),
+            ("lineitem.l_partkey->part", "l_partkey", "part", "p_partkey"),
+            ("lineitem.l_suppkey->supplier", "l_suppkey", "supplier", "s_suppkey"),
+        ],
+        "orders": [("orders.o_custkey->customer", "o_custkey", "customer", "c_custkey")],
+        "customer": [("customer.c_nationkey->nation", "c_nationkey", "nation", "n_nationkey")],
+        "nation": [("nation.n_regionkey->region", "n_regionkey", "region", "r_regionkey")],
+    }
 
-    rows = [
-        edge("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
-        edge("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
-        edge("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
-        edge("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
-        edge("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
-        edge("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
-    ]
-    return spark.createDataFrame(
-        [(n, c, o, o == 0) for n, c, o in rows],
-        "fk string, n_child long, n_orphans long, ok boolean",
-    )
+    def child_audit(child, edges):
+        df = _t_any(spark, sf_dir, child).select(
+            *[F.col(ck).alias(f"k{i}") for i, (_n, ck, _p, _pk) in enumerate(edges)]
+        )
+        for i, (_n, _ck, parent, pkey) in enumerate(edges):
+            dim = (
+                _t_any(spark, sf_dir, parent)
+                .select(F.col(pkey).alias(f"k{i}"))
+                .distinct()
+                .withColumn(f"hit{i}", F.lit(1))
+            )
+            df = df.join(F.broadcast(dim), f"k{i}", "left")
+        agg = df.agg(
+            F.count(F.lit(1)).alias("n_child"),
+            *[
+                F.coalesce(
+                    F.sum(F.when(F.col(f"hit{i}").isNull(), 1).otherwise(0)), F.lit(0)
+                ).alias(f"o{i}")
+                for i in range(len(edges))
+            ],
+        )
+        return agg.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(name).alias("fk"),
+                            F.col("n_child").cast("long").alias("n_child"),
+                            F.col(f"o{i}").cast("long").alias("n_orphans"),
+                        )
+                        for i, (name, _ck, _p, _pk) in enumerate(edges)
+                    ]
+                )
+            ).alias("e")
+        ).select("e.*")
+
+    out = None
+    for child, edges in schema_edges.items():
+        part = child_audit(child, edges)
+        out = part if out is None else out.unionAll(part)
+    return out.withColumn("ok", F.col("n_orphans") == F.lit(0))
 
 
 def _t_any(spark, sf_dir, name):
