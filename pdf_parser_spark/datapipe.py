@@ -2537,6 +2537,96 @@ def _t_any(spark, sf_dir, name):
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# --------------------------------------------------------------------------
+# k_anonymity — privacy audit across a generalization ladder
+# --------------------------------------------------------------------------
+
+K_ANON_K = 5
+
+
+def q_k_anonymity(spark, sf_dir):
+    """k-anonymity audit of the customer table across a three-rung
+    generalization ladder: the quasi-identifier set starts specific
+    (nation, segment, $1000 balance band) and generalizes rung by rung
+    (drop the band; coarsen nation to region) — the report shows how k
+    (the smallest equivalence-class size) and the population at risk
+    (rows in classes below k=5) move as identifiers coarsen, which is
+    the decision a release-or-suppress pipeline actually makes.
+
+    Each rung is one low-cardinality hash aggregate with map-side
+    combine (the group-size frame is nations x segments x bands at
+    worst), the nation→region coarsening is a 25-row broadcast, and the
+    three single-row summaries union into one lazy plan — no corpus
+    window, no driver loop. rows_at_risk counts ROWS (people), not
+    groups, so the privacy exposure is population-weighted."""
+    cust = _t_any(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("int").alias("bal_band"),
+    )
+    nation = F.broadcast(
+        _t_any(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    )
+    base = cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+    ladder = [
+        ("L0 nation+segment+bal_band", ["c_nationkey", "c_mktsegment", "bal_band"]),
+        ("L1 nation+segment", ["c_nationkey", "c_mktsegment"]),
+        ("L2 region+segment", ["n_regionkey", "c_mktsegment"]),
+    ]
+    out = None
+    for label, keys in ladder:
+        sizes = base.groupBy(*keys).agg(F.count(F.lit(1)).alias("sz"))
+        row = sizes.agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.min("sz").alias("k_min"),
+            F.coalesce(
+                F.sum(F.when(F.col("sz") < K_ANON_K, F.col("sz"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("rows_at_risk"),
+        ).select(
+            F.lit(label).alias("level"),
+            "n_groups",
+            "k_min",
+            "rows_at_risk",
+            (F.col("k_min") >= K_ANON_K).alias("ok"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+SQL_K_ANONYMITY = f"""
+WITH base AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal / 1000) AS INT) AS bal_band, n_regionkey
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+), l0 AS (
+  SELECT count(*)::BIGINT AS sz FROM base
+  GROUP BY c_nationkey, c_mktsegment, bal_band
+), l1 AS (
+  SELECT count(*)::BIGINT AS sz FROM base GROUP BY c_nationkey, c_mktsegment
+), l2 AS (
+  SELECT count(*)::BIGINT AS sz FROM base GROUP BY n_regionkey, c_mktsegment
+)
+SELECT 'L0 nation+segment+bal_band' AS level, count(*)::BIGINT AS n_groups,
+       min(sz) AS k_min,
+       coalesce(SUM(CASE WHEN sz < {K_ANON_K} THEN sz END), 0)::BIGINT
+         AS rows_at_risk,
+       min(sz) >= {K_ANON_K} AS ok
+FROM l0
+UNION ALL
+SELECT 'L1 nation+segment', count(*)::BIGINT, min(sz),
+       coalesce(SUM(CASE WHEN sz < {K_ANON_K} THEN sz END), 0)::BIGINT,
+       min(sz) >= {K_ANON_K}
+FROM l1
+UNION ALL
+SELECT 'L2 region+segment', count(*)::BIGINT, min(sz),
+       coalesce(SUM(CASE WHEN sz < {K_ANON_K} THEN sz END), 0)::BIGINT,
+       min(sz) >= {K_ANON_K}
+FROM l2
+"""
+
+
 SQL_REFERENTIAL_INTEGRITY = """
 SELECT 'lineitem.l_orderkey->orders' AS fk, count(*)::BIGINT AS n_child,
        SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_orphans,
@@ -2577,6 +2667,7 @@ DATAPIPE_QUERIES = {
     "source_similarity": (q_source_similarity, SQL_SOURCE_SIMILARITY),
     "data_quality_checks": (q_data_quality_checks, SQL_DATA_QUALITY_CHECKS),
     "referential_integrity": (q_referential_integrity, SQL_REFERENTIAL_INTEGRITY),
+    "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "dup_ngram_fraction": (q_dup_ngram_fraction, SQL_DUP_NGRAM_FRACTION),
     "gopher_quality": (q_gopher_quality, SQL_GOPHER_QUALITY),

@@ -994,6 +994,166 @@ def q_revenue_share(spark, sf_dir):
     )
 
 
+def q_rfm_segments(spark, sf_dir):
+    """RFM (recency/frequency/monetary) user segmentation with exact
+    quartile thresholds — the quantile-bucketing shape done WITHOUT a
+    global ranking window: ntile()/percent_rank() over all users would
+    funnel the whole user dimension through one task, so instead the
+    three metric quartiles are computed as one exact-percentile
+    aggregate (nine numbers) and broadcast back onto the per-user frame;
+    each score is then three comparisons. Recency is scored on the
+    last-activity epoch-day directly (higher = more recent) so no
+    corpus-wide "now" scalar is needed.
+
+    Costs two passes over the per-user aggregate's lineage (threshold
+    subtree + scoring subtree) and nothing wider; at 100 TB swap the
+    exact percentile for approx_percentile (mergeable sketch) — exact is
+    used here because the oracle hash-compares values. Monetary is
+    summed in exact integer cents."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_date(F.col("ts").cast("date")).alias("ep_day"),
+        F.round(F.col("value") * 100).cast("long").alias("v_e2"),
+    )
+    users = ev.groupBy("user_id").agg(
+        F.max("ep_day").alias("last_ep"),
+        F.count(F.lit(1)).alias("f_n"),
+        F.sum("v_e2").alias("m_e2"),
+    )
+    thr = users.agg(
+        F.expr("percentile(last_ep, array(0.25D, 0.5D, 0.75D))").alias("rq"),
+        F.expr("percentile(f_n, array(0.25D, 0.5D, 0.75D))").alias("fq"),
+        F.expr("percentile(m_e2, array(0.25D, 0.5D, 0.75D))").alias("mq"),
+    )
+    scored = users.crossJoin(F.broadcast(thr)).select(
+        "user_id",
+        "last_ep",
+        "f_n",
+        F.round(F.col("m_e2") / 100.0, 2).alias("monetary"),
+        (
+            F.lit(1)
+            + (F.col("last_ep") > F.col("rq")[0]).cast("int")
+            + (F.col("last_ep") > F.col("rq")[1]).cast("int")
+            + (F.col("last_ep") > F.col("rq")[2]).cast("int")
+        ).alias("r_score"),
+        (
+            F.lit(1)
+            + (F.col("f_n") > F.col("fq")[0]).cast("int")
+            + (F.col("f_n") > F.col("fq")[1]).cast("int")
+            + (F.col("f_n") > F.col("fq")[2]).cast("int")
+        ).alias("f_score"),
+        (
+            F.lit(1)
+            + (F.col("m_e2") > F.col("mq")[0]).cast("int")
+            + (F.col("m_e2") > F.col("mq")[1]).cast("int")
+            + (F.col("m_e2") > F.col("mq")[2]).cast("int")
+        ).alias("m_score"),
+    )
+    return scored.withColumn(
+        "segment",
+        F.when(
+            (F.col("r_score") >= 3) & (F.col("f_score") >= 3) & (F.col("m_score") >= 3),
+            F.lit("core"),
+        )
+        .when((F.col("r_score") >= 3) & (F.col("f_score") <= 2), F.lit("new_or_casual"))
+        .when(
+            (F.col("r_score") <= 2)
+            & ((F.col("f_score") >= 3) | (F.col("m_score") >= 3)),
+            F.lit("at_risk_valuable"),
+        )
+        .otherwise(F.lit("hibernating")),
+    )
+
+
+SQL_RFM_SEGMENTS = """
+WITH u AS (
+  SELECT user_id,
+         max(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)))::BIGINT
+           AS last_ep,
+         count(*)::BIGINT AS f_n,
+         SUM(round(value * 100)::BIGINT) AS m_e2
+  FROM events GROUP BY user_id
+), thr AS (
+  SELECT quantile_cont(last_ep, 0.25) AS rq1, quantile_cont(last_ep, 0.5) AS rq2,
+         quantile_cont(last_ep, 0.75) AS rq3,
+         quantile_cont(f_n, 0.25) AS fq1, quantile_cont(f_n, 0.5) AS fq2,
+         quantile_cont(f_n, 0.75) AS fq3,
+         quantile_cont(m_e2, 0.25) AS mq1, quantile_cont(m_e2, 0.5) AS mq2,
+         quantile_cont(m_e2, 0.75) AS mq3
+  FROM u
+), scored AS (
+  SELECT user_id, last_ep, f_n, round(m_e2 / 100.0, 2) AS monetary,
+         1 + (last_ep > rq1)::INT + (last_ep > rq2)::INT + (last_ep > rq3)::INT
+           AS r_score,
+         1 + (f_n > fq1)::INT + (f_n > fq2)::INT + (f_n > fq3)::INT AS f_score,
+         1 + (m_e2 > mq1)::INT + (m_e2 > mq2)::INT + (m_e2 > mq3)::INT AS m_score
+  FROM u CROSS JOIN thr
+)
+SELECT user_id, last_ep, f_n, monetary, r_score, f_score, m_score,
+       CASE
+         WHEN r_score >= 3 AND f_score >= 3 AND m_score >= 3 THEN 'core'
+         WHEN r_score >= 3 AND f_score <= 2 THEN 'new_or_casual'
+         WHEN r_score <= 2 AND (f_score >= 3 OR m_score >= 3)
+           THEN 'at_risk_valuable'
+         ELSE 'hibernating'
+       END AS segment
+FROM scored
+"""
+
+
+def q_event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over the event stream: per
+    user, events ordered by (ts, event_id) — the event_id tiebreak makes
+    same-microsecond events deterministically ordered on both engines —
+    lag() pairs each event with its predecessor, and the (prev, next)
+    pair counts row-normalize into transition probabilities.
+
+    One shuffle (the per-user sequence window); the normalizing window
+    runs on the type x type grouped frame (tens of rows), never the
+    corpus. A mega-user serializes their own sequence into one task —
+    bounded by the heaviest single user's event count, the inherent
+    cost of ordered per-user semantics (sessionize first to cut it).
+    Probabilities are exact-integer ratios rounded at 6, same discipline
+    as revenue_share."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).where(F.col("prev_type").isNotNull())
+    counts = pairs.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    wp = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions") / F.sum("n_transitions").over(wp), 6
+        ).alias("p"),
+    )
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+), pairs AS (
+  SELECT prev_type, event_type AS next_type, count(*)::BIGINT AS n_transitions
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT prev_type, next_type, n_transitions,
+       round(n_transitions
+             / (SUM(n_transitions) OVER (PARTITION BY prev_type))::DOUBLE, 6)
+         AS p
+FROM pairs
+"""
+
+
 SQL_REVENUE_SHARE = """
 WITH cells AS (
   SELECT n_name, date_part('year', o_orderdate)::INT AS o_year,
@@ -1027,4 +1187,6 @@ TIMESERIES_QUERIES: dict[str, tuple] = {
     "rate_anomaly": (q_rate_anomaly, SQL_RATE_ANOMALY),
     "rate_trend": (q_rate_trend, SQL_RATE_TREND),
     "revenue_share": (q_revenue_share, SQL_REVENUE_SHARE),
+    "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
+    "rfm_segments": (q_rfm_segments, SQL_RFM_SEGMENTS),
 }

@@ -778,3 +778,42 @@ def test_referential_integrity_counts_planted_orphans(spark, tmp_path):
     assert out["lineitem.l_partkey->part"] == 2
     assert out["orders.o_custkey->customer"] == 1
     assert out.drop(["lineitem.l_partkey->part", "orders.o_custkey->customer"]).eq(0).all()
+
+
+def test_k_anonymity_ladder_and_planted_small_group(spark, tmp_path):
+    """On the real fixture k_min is monotone up the generalization
+    ladder (every coarser group is a union of finer ones). On a planted
+    table with one 2-person (nation, segment) class, L1 reports exactly
+    k_min=2 and rows_at_risk counts those 2 people."""
+    from pdf_parser_spark.datapipe import q_k_anonymity
+
+    out = q_k_anonymity(spark, "/root/testdata/sf0.001").toPandas().set_index("level")
+    assert len(out) == 3
+    k0, k1, k2 = (
+        out.loc["L0 nation+segment+bal_band", "k_min"],
+        out.loc["L1 nation+segment", "k_min"],
+        out.loc["L2 region+segment", "k_min"],
+    )
+    assert k0 <= k1 <= k2
+
+    cust = pd.DataFrame(
+        {
+            "c_custkey": range(1, 13),
+            "c_name": [f"c{i}" for i in range(1, 13)],
+            "c_nationkey": [0] * 10 + [1, 1],
+            "c_acctbal": [100.0 * i for i in range(1, 13)],
+            "c_mktsegment": ["BUILDING"] * 10 + ["AUTOMOBILE"] * 2,
+        }
+    )
+    cust["c_nationkey"] = cust["c_nationkey"].astype("int32")
+    nation = pd.DataFrame(
+        {"n_nationkey": [0, 1], "n_name": ["A", "B"], "n_regionkey": [0, 0]}
+    ).astype({"n_nationkey": "int32", "n_regionkey": "int32"})
+    cust.to_parquet(tmp_path / "customer.parquet", index=False)
+    nation.to_parquet(tmp_path / "nation.parquet", index=False)
+
+    got = q_k_anonymity(spark, str(tmp_path)).toPandas().set_index("level")
+    assert got.loc["L1 nation+segment", "k_min"] == 2
+    assert got.loc["L1 nation+segment", "rows_at_risk"] == 2
+    assert not got.loc["L1 nation+segment", "ok"]
+    assert got.loc["L2 region+segment", "k_min"] == 2

@@ -384,3 +384,59 @@ def test_rate_trend_and_share_semantics(spark):
         tot = g["revenue"].sum()
         for r in g.itertuples():
             assert r.share == pytest.approx(r.revenue / tot, abs=1e-4)
+
+
+def test_event_transitions_semantics(spark, tmp_path):
+    """Probabilities row-normalize (sum to 1 per prev_type) on the real
+    fixture; on a hand-built stream with a same-microsecond tie the
+    event_id tiebreak fixes the order, so the transition counts are the
+    ones the (ts, event_id) ordering implies."""
+    out = ts.q_event_transitions(spark, SF_DIR).toPandas()
+    sums = out.groupby("prev_type")["p"].sum()
+    assert ((sums - 1.0).abs() < 1e-4).all()
+    n_pairs = int(out["n_transitions"].sum())
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    assert n_pairs == len(ev) - ev["user_id"].nunique()
+
+    t0 = pd.Timestamp("2025-01-01").as_unit("us")
+    fix = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4, 10, 11],
+            "ts": [t0, t0, t0 + pd.Timedelta(seconds=1), t0 + pd.Timedelta(seconds=2), t0, t0 + pd.Timedelta(seconds=5)],
+            "user_id": [7, 7, 7, 7, 8, 8],
+            "event_type": ["view", "click", "view", "purchase", "view", "view"],
+            "value": [0.0] * 6,
+            "props": ["{}"] * 6,
+        }
+    )
+    fix["ts"] = fix["ts"].astype("datetime64[us]")
+    fix.to_parquet(tmp_path / "events.parquet", index=False)
+    got = {
+        (r.prev_type, r.next_type): r.n_transitions
+        for r in ts.q_event_transitions(spark, str(tmp_path)).toPandas().itertuples()
+    }
+    # user 7: view(id1) -> click(id2, ts tie broken by id) -> view -> purchase
+    # user 8: view -> view
+    assert got == {
+        ("view", "click"): 1,
+        ("click", "view"): 1,
+        ("view", "purchase"): 1,
+        ("view", "view"): 1,
+    }
+
+
+def test_rfm_segments_semantics(spark):
+    """Scores recompute from the frame's own exact quartiles (pandas
+    linear interpolation == percentile/quantile_cont); segment labels
+    follow the documented CASE; every user appears exactly once."""
+    out = ts.q_rfm_segments(spark, SF_DIR).toPandas()
+    assert out["user_id"].is_unique and len(out) > 0
+    for col, score in (("last_ep", "r_score"), ("f_n", "f_score")):
+        qs = out[col].quantile([0.25, 0.5, 0.75], interpolation="linear")
+        want = 1 + sum((out[col] > q).astype(int) for q in qs)
+        assert (out[score] == want).all(), col
+    assert set(out["segment"]) <= {
+        "core", "new_or_casual", "at_risk_valuable", "hibernating"
+    }
+    core = out[out["segment"] == "core"]
+    assert ((core["r_score"] >= 3) & (core["f_score"] >= 3) & (core["m_score"] >= 3)).all()
