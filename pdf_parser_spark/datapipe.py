@@ -1384,6 +1384,62 @@ def _sql_near_dup_keep() -> str:
     return _sql_near_dup_components_body("documents", MINHASH_BUCKET_CAP, _KEEP_SELECT)
 
 
+# Train/val/test cut points (percent of the 100-bucket hash space).
+SPLIT_TRAIN_PCT = 80
+SPLIT_VAL_PCT = 90
+
+
+def q_leakage_safe_split(spark, sf_dir):
+    """Leakage-safe train/val/test assignment: the split hash is taken on
+    the near-dup CLUSTER label, not the document id, so two near-duplicate
+    documents can never land on opposite sides of the train/test wall —
+    the contamination mode that doc-granular splitting silently allows
+    (a test doc whose near-twin was trained on scores as memorization).
+    Composes the verified component labels with the same portable Knuth
+    multiplicative hash the sampling ops use, so the assignment is
+    deterministic, engine-portable, and re-run/repartition stable.
+
+    Zero cost beyond the component labels (one projection): at 100 TB the
+    labels are the already-materialized dedup output and the split is a
+    map-only pass — no shuffle, no new state. 80/10/10 by cluster-hash
+    bucket; because whole clusters move together, realized doc-level
+    fractions drift with cluster sizes — that drift is the price of
+    leakage safety and is visible in the output for auditing."""
+    labels = q_near_dup_components(spark, sf_dir)
+    bucket = (
+        (F.col("component") % _HASH_PRE) * _HASH_MULT % _HASH_MOD % 100
+    )
+    return labels.select(
+        "doc_id",
+        "component",
+        F.when(bucket < SPLIT_TRAIN_PCT, F.lit("train"))
+        .when(bucket < SPLIT_VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+_SPLIT_SELECT = f"""
+SELECT doc AS doc_id, min(lab)::BIGINT AS component,
+       CASE
+         WHEN (min(lab) % {_HASH_PRE}) * {_HASH_MULT} % {_HASH_MOD} % 100
+              < {SPLIT_TRAIN_PCT} THEN 'train'
+         WHEN (min(lab) % {_HASH_PRE}) * {_HASH_MULT} % {_HASH_MOD} % 100
+              < {SPLIT_VAL_PCT} THEN 'val'
+         ELSE 'test'
+       END AS split
+FROM r GROUP BY doc
+"""
+
+
+def _sql_leakage_safe_split() -> str:
+    from .analytics.queries import MINHASH_BUCKET_CAP
+
+    return _sql_near_dup_components_body(
+        "documents", MINHASH_BUCKET_CAP, _SPLIT_SELECT
+    )
+
+
 # --------------------------------------------------------------------------
 # Tokenizer-prep: vocabulary build + per-doc coverage
 # --------------------------------------------------------------------------
@@ -2627,6 +2683,83 @@ FROM l2
 """
 
 
+# --------------------------------------------------------------------------
+# shuffle_skew_audit — group-size distribution of the engine's shuffle keys
+# --------------------------------------------------------------------------
+
+
+def q_shuffle_skew_audit(spark, sf_dir):
+    """Pre-flight skew audit of the keys this engine actually shuffles on
+    (events.user_id for sessionization/windows, documents.source for the
+    packing/quota ops, lineitem.l_orderkey for the order joins): per key,
+    the group-size distribution — key count, max and exact p50/p99 group
+    sizes, the heaviest key's row share, and max/mean skew factor. This is
+    the number that decides salting: a key whose max group is ~mean is
+    safe to shuffle raw; a key where one value owns a material share of
+    all rows serializes that task at 100 TB and needs a salt or an AQE
+    skew split.
+
+    Cost: one hash aggregate per key (map-side combine; the group-size
+    frames are key-cardinality, not corpus-cardinality) + a five-number
+    summary aggregate on each. The three single-row summaries union into
+    one lazy plan. Exact percentiles are used because the oracle
+    hash-compares values; at 100 TB swap approx_percentile (mergeable
+    sketch) per key."""
+    specs = [
+        ("events.user_id", _t_any(spark, sf_dir, "events"), "user_id"),
+        ("documents.source", _docs(spark, sf_dir), "source"),
+        ("lineitem.l_orderkey", _t_any(spark, sf_dir, "lineitem"), "l_orderkey"),
+    ]
+    out = None
+    for label, df, key in specs:
+        sizes = df.groupBy(key).agg(F.count(F.lit(1)).alias("sz"))
+        row = sizes.agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("sz").cast("long").alias("n_rows"),
+            F.max("sz").cast("long").alias("max_sz"),
+            F.expr("percentile(sz, array(0.5D, 0.99D))").alias("pq"),
+        ).select(
+            F.lit(label).alias("key"),
+            "n_keys",
+            "n_rows",
+            "max_sz",
+            F.round(F.col("pq")[0], 4).alias("p50_sz"),
+            F.round(F.col("pq")[1], 4).alias("p99_sz"),
+            F.round(F.col("max_sz") / F.col("n_rows"), 6).alias("top_share"),
+            F.round(
+                F.col("max_sz") * F.col("n_keys") / F.col("n_rows"), 4
+            ).alias("skew_factor"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+SQL_SHUFFLE_SKEW_AUDIT = """
+WITH ge AS (SELECT count(*)::BIGINT AS sz FROM events GROUP BY user_id),
+gd AS (SELECT count(*)::BIGINT AS sz FROM documents GROUP BY source),
+gl AS (SELECT count(*)::BIGINT AS sz FROM lineitem GROUP BY l_orderkey)
+SELECT 'events.user_id' AS key, count(*)::BIGINT AS n_keys,
+       SUM(sz)::BIGINT AS n_rows, max(sz) AS max_sz,
+       round(quantile_cont(sz, 0.5), 4) AS p50_sz,
+       round(quantile_cont(sz, 0.99), 4) AS p99_sz,
+       round(max(sz) / SUM(sz)::DOUBLE, 6) AS top_share,
+       round(max(sz) * count(*) / SUM(sz)::DOUBLE, 4) AS skew_factor
+FROM ge
+UNION ALL
+SELECT 'documents.source', count(*)::BIGINT, SUM(sz)::BIGINT, max(sz),
+       round(quantile_cont(sz, 0.5), 4), round(quantile_cont(sz, 0.99), 4),
+       round(max(sz) / SUM(sz)::DOUBLE, 6),
+       round(max(sz) * count(*) / SUM(sz)::DOUBLE, 4)
+FROM gd
+UNION ALL
+SELECT 'lineitem.l_orderkey', count(*)::BIGINT, SUM(sz)::BIGINT, max(sz),
+       round(quantile_cont(sz, 0.5), 4), round(quantile_cont(sz, 0.99), 4),
+       round(max(sz) / SUM(sz)::DOUBLE, 6),
+       round(max(sz) * count(*) / SUM(sz)::DOUBLE, 4)
+FROM gl
+"""
+
+
 SQL_REFERENTIAL_INTEGRITY = """
 SELECT 'lineitem.l_orderkey->orders' AS fk, count(*)::BIGINT AS n_child,
        SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_orphans,
@@ -2668,6 +2801,7 @@ DATAPIPE_QUERIES = {
     "data_quality_checks": (q_data_quality_checks, SQL_DATA_QUALITY_CHECKS),
     "referential_integrity": (q_referential_integrity, SQL_REFERENTIAL_INTEGRITY),
     "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
+    "shuffle_skew_audit": (q_shuffle_skew_audit, SQL_SHUFFLE_SKEW_AUDIT),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "dup_ngram_fraction": (q_dup_ngram_fraction, SQL_DUP_NGRAM_FRACTION),
     "gopher_quality": (q_gopher_quality, SQL_GOPHER_QUALITY),
@@ -2682,6 +2816,10 @@ DATAPIPE_QUERIES = {
         lambda _sf: _sql_near_dup_components(),
     ),
     "near_dup_keep": (q_near_dup_keep, lambda _sf: _sql_near_dup_keep()),
+    "leakage_safe_split": (
+        q_leakage_safe_split,
+        lambda _sf: _sql_leakage_safe_split(),
+    ),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "exact_substring_dedup": (
         q_exact_substring_dedup,
@@ -2701,4 +2839,4 @@ DATAPIPE_QUERIES = {
 # would double-count the expensive stage (near_dup_keep re-runs the whole
 # LSH edge build that near_dup_components already times). bench.py skips
 # these and says so — an explicit list, not a silent cap.
-BENCH_DERIVED = {"near_dup_keep"}
+BENCH_DERIVED = {"near_dup_keep", "leakage_safe_split"}

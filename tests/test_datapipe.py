@@ -817,3 +817,48 @@ def test_k_anonymity_ladder_and_planted_small_group(spark, tmp_path):
     assert got.loc["L1 nation+segment", "rows_at_risk"] == 2
     assert not got.loc["L1 nation+segment", "ok"]
     assert got.loc["L2 region+segment", "k_min"] == 2
+
+
+def test_leakage_safe_split_cluster_atomicity(spark):
+    """The split wall is cluster-atomic: every component lands in exactly
+    one split, at least one multi-doc component exists at this sf (so the
+    guarantee binds), each doc appears once, and the assignment is the
+    documented hash of the component label (doc-granular hashing would
+    disagree for any non-representative member)."""
+    out = dp.q_leakage_safe_split(spark, SF_DIR).toPandas()
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    assert out["doc_id"].is_unique and len(out) == len(docs)
+    per_comp = out.groupby("component")["split"].nunique()
+    assert (per_comp == 1).all()
+    sizes = out.groupby("component").size()
+    assert (sizes > 1).any(), "fixture has no multi-doc cluster; test is vacuous"
+    buckets = (out["component"] % 2147483647) * 2654435761 % 4294967296 % 100
+    want = pd.cut(
+        buckets, [-1, 79, 89, 100], labels=["train", "val", "test"]
+    ).astype(str)
+    assert (out["split"] == want).all()
+
+
+def test_shuffle_skew_audit_recomputes(spark):
+    """Every reported statistic recomputes from a pandas groupby of the
+    same tables; the known-skewed key (documents.source) shows a
+    skew_factor materially above 1 so the audit's decision signal binds."""
+    out = (
+        dp.q_shuffle_skew_audit(spark, SF_DIR).toPandas().set_index("key")
+    )
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    sz = ev.groupby("user_id").size()
+    row = out.loc["events.user_id"]
+    assert row["n_keys"] == sz.size and row["n_rows"] == len(ev)
+    assert row["max_sz"] == sz.max()
+    assert row["p50_sz"] == pytest.approx(sz.quantile(0.5), abs=1e-4)
+    assert row["p99_sz"] == pytest.approx(sz.quantile(0.99), abs=1e-4)
+    assert row["top_share"] == pytest.approx(sz.max() / len(ev), abs=1e-6)
+    assert row["skew_factor"] == pytest.approx(
+        sz.max() * sz.size / len(ev), abs=1e-4
+    )
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    dsz = docs.groupby("source").size()
+    assert out.loc["documents.source", "skew_factor"] == pytest.approx(
+        dsz.max() * dsz.size / len(docs), abs=1e-4
+    )
