@@ -1802,8 +1802,10 @@ FROM read_parquet('{moji_path(sf)}')
 N_SHARDS = 16
 
 
-def _global_prefix(spark, d: DataFrame, weight: str) -> DataFrame:
-    """Corpus-wide exclusive prefix sum of ``weight`` in doc_id order,
+def _global_prefix(
+    spark, d: DataFrame, weight: str, order_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-wide exclusive prefix sum of ``weight`` in ``order_col`` order,
     as the two-phase range-partition device (``pack_sequences``/
     ``reports.global_seq``): local cumsums per range chunk plus a
     ≤#partitions-row broadcast of chunk offsets — no single task ever
@@ -1814,13 +1816,13 @@ def _global_prefix(spark, d: DataFrame, weight: str) -> DataFrame:
     prefix, BIGINT) and ``_grand`` (corpus total)."""
     parts = max(2, spark.sparkContext.defaultParallelism)
     d = (
-        d.repartitionByRange(parts, "doc_id")
+        d.repartitionByRange(parts, order_col)
         .withColumn("_chunk", F.spark_partition_id())
         .localCheckpoint(eager=False)
     )
     w_local = (
         Window.partitionBy("_chunk")
-        .orderBy("doc_id")
+        .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     local = d.withColumn(

@@ -519,8 +519,104 @@ SELECT day, exact_distinct_w7, hll_numerator_w7, n_empty_regs
 FROM exact JOIN numer USING (day)
 """
 
+# --------------------------------------------------------------------------
+# Int8 embedding quantization audit (integer-exact)
+# --------------------------------------------------------------------------
+
+Q_GRID = 1_000_000  # f32 -> integer micro-grid, shared with the oracle
+
+
+def q_embedding_quantize(spark, sf_dir):
+    """Per-vector audit of int8 symmetric per-dimension quantization —
+    the compression step an embedding store runs before ANN serving
+    (4x smaller, SIMD-friendly), and the audit that decides whether the
+    recall loss is acceptable: reconstruction error and original-vs-
+    dequantized cosine per vector.
+
+    Everything that must hash-match is INTEGER-EXACT: embeddings land on
+    a 1e-6 grid (vi), each dimension's scale is the integer max |vi|
+    (one posexplode aggregate -> 64 rows, map-side combine, broadcast
+    back), the int8 code is the pure-integer half-up rounding
+    ``(254*vi + s) div (2*s)`` (sign-split so both engines truncate the
+    same way), and the error/cosine numerators are BIGINT sums of
+    integer products — only the two final ratios round. No shuffle
+    beyond the 64-row scale aggregate: the audit itself is a map-only
+    pass, so it runs at corpus scale as a scan.
+
+    err units: ``q_err_max``/``q_err_sse`` are on the 127x micro-grid
+    (divide by 127e6 for embedding units); cos_sim is dimensionless."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ex = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.expr(
+                f"transform(embedding, x ->"
+                f" CAST(round(CAST(x AS DOUBLE) * {Q_GRID}) AS BIGINT))"
+            )
+        ).alias("i", "vi"),
+    )
+    scales = F.broadcast(
+        ex.groupBy("i").agg(
+            F.greatest(F.max(F.abs(F.col("vi"))), F.lit(1)).alias("s")
+        )
+    )
+    coded = ex.join(scales, "i").select(
+        "vec_id",
+        "vi",
+        "s",
+        F.expr(
+            "CASE WHEN vi >= 0 THEN (254 * vi + s) div (2 * s)"
+            " ELSE -((254 * -vi + s) div (2 * s)) END"
+        ).alias("q"),
+    )
+    # dq = q*s is the dequantized value on the 127x grid; 127*vi is the
+    # original on the same grid, so err = |127*vi - q*s| is integral.
+    terms = coded.select(
+        "vec_id",
+        (127 * F.col("vi") - F.col("q") * F.col("s")).alias("err"),
+        (F.col("vi") * F.col("q") * F.col("s")).alias("dot"),
+        (F.col("vi") * F.col("vi")).alias("nv"),
+        (F.col("q") * F.col("s") * F.col("q") * F.col("s")).alias("nd"),
+    )
+    return terms.groupBy("vec_id").agg(
+        F.max(F.abs(F.col("err"))).cast("long").alias("q_err_max"),
+        F.sum(F.col("err") * F.col("err")).cast("long").alias("q_err_sse"),
+        F.round(
+            F.sum("dot") / F.sqrt(F.sum("nv") * 127.0 * 127.0)
+            / F.sqrt(F.sum("nd") / (127.0 * 127.0)),
+            6,
+        ).alias("cos_sim"),
+    )
+
+
+SQL_EMBEDDING_QUANTIZE = f"""
+WITH idx AS (SELECT unnest(generate_series(1, {COV_DIM})) AS i),
+ex AS (
+  SELECT e.vec_id, i.i - 1 AS i,
+         round(CAST(e.embedding[i.i] AS DOUBLE) * {Q_GRID})::BIGINT AS vi
+  FROM embeddings e, idx i
+), sc AS (
+  SELECT i, greatest(max(abs(vi)), 1) AS s FROM ex GROUP BY i
+), coded AS (
+  SELECT ex.vec_id, ex.vi, sc.s,
+         CASE WHEN ex.vi >= 0 THEN (254 * ex.vi + sc.s) // (2 * sc.s)
+              ELSE -((254 * -ex.vi + sc.s) // (2 * sc.s)) END AS q
+  FROM ex JOIN sc USING (i)
+)
+SELECT vec_id,
+       max(abs(127 * vi - q * s))::BIGINT AS q_err_max,
+       SUM((127 * vi - q * s) * (127 * vi - q * s))::BIGINT AS q_err_sse,
+       round(SUM(vi * q * s)
+             / sqrt(SUM(vi * vi) * 127.0 * 127.0)
+             / sqrt(SUM(q * s * q * s) / (127.0 * 127.0)), 6) AS cos_sim
+FROM coded
+GROUP BY vec_id
+"""
+
+
 SKETCH_QUERIES = {
     "cms_heavy_hitters": (q_cms_heavy_hitters, SQL_CMS_HEAVY_HITTERS),
+    "embedding_quantize": (q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),
     "hll_distinct": (q_hll_distinct, SQL_HLL_DISTINCT),
     "hist_quantiles": (q_hist_quantiles, SQL_HIST_QUANTILES),
     "embedding_covariance": (q_embedding_covariance, SQL_EMBEDDING_COVARIANCE),

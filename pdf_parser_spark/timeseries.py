@@ -1154,6 +1154,81 @@ FROM pairs
 """
 
 
+def q_score_auc(spark, sf_dir):
+    """Exact ROC-AUC of a score against a binary label — the acceptance
+    metric for every model-based corpus filter (fastText quality,
+    perplexity, PII classifiers): here, how well the event ``value``
+    separates purchases from non-purchases. Computed via the midrank
+    Mann-Whitney identity AUC = (R_pos - Np(Np+1)/2) / (Np*Nn) with exact
+    tie handling, all in BIGINT: scores land on an integer cent grid, the
+    rank machinery is counts-of-counts, and only the final ratio is
+    rounded — so both engines agree bit-for-bit (a per-row float rank
+    would not).
+
+    Scale shape: one (score)-keyed hash aggregate collapses the corpus to
+    the distinct-score frame (bounded by the score grid, not the row
+    count); the exclusive prefix of group sizes over that frame uses the
+    ``_global_prefix`` two-phase device, so there is no corpus-wide — or
+    even frame-wide — single-task window; one four-number summary ends
+    the plan. The midrank products stay under 2^63 for frames up to ~10^9
+    rows per score bucket; past that, coarsen the grid (the standard
+    fixed-bucket AUC estimator)."""
+    from .datapipe import _global_prefix
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.round(F.col("value") * 100).cast("long").alias("s"),
+        (F.col("event_type") == "purchase").cast("long").alias("pos"),
+    )
+    g = ev.groupBy("s").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("pos").alias("np")
+    )
+    pre = _global_prefix(spark, g, "n", order_col="s")
+    return (
+        pre.agg(
+            F.sum(
+                F.col("np") * (2 * F.col("_pre") + F.col("n") + 1)
+            ).alias("r2"),
+            F.sum("np").alias("n_pos"),
+            F.sum(F.col("n") - F.col("np")).alias("n_neg"),
+            F.count(F.lit(1)).alias("n_scores"),
+        )
+        .select(
+            F.col("n_pos").cast("long").alias("n_pos"),
+            F.col("n_neg").cast("long").alias("n_neg"),
+            F.col("n_scores").cast("long").alias("n_scores"),
+            F.round(
+                (F.col("r2") - F.col("n_pos") * (F.col("n_pos") + 1))
+                / (2.0 * F.col("n_pos") * F.col("n_neg")),
+                6,
+            ).alias("auc"),
+        )
+    )
+
+
+SQL_SCORE_AUC = """
+WITH e AS (
+  SELECT round(value * 100)::BIGINT AS s,
+         (event_type = 'purchase')::BIGINT AS pos
+  FROM events
+), g AS (
+  SELECT s, count(*)::BIGINT AS n, SUM(pos)::BIGINT AS np
+  FROM e GROUP BY s
+), p AS (
+  SELECT n, np,
+         COALESCE(SUM(n) OVER (
+             ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) AS pre
+  FROM g
+)
+SELECT SUM(np)::BIGINT AS n_pos,
+       SUM(n - np)::BIGINT AS n_neg,
+       count(*)::BIGINT AS n_scores,
+       round((SUM(np * (2 * pre + n + 1)) - SUM(np) * (SUM(np) + 1))
+             / (2.0 * SUM(np) * SUM(n - np)), 6) AS auc
+FROM p
+"""
+
+
 SQL_REVENUE_SHARE = """
 WITH cells AS (
   SELECT n_name, date_part('year', o_orderdate)::INT AS o_year,
@@ -1189,4 +1264,5 @@ TIMESERIES_QUERIES: dict[str, tuple] = {
     "revenue_share": (q_revenue_share, SQL_REVENUE_SHARE),
     "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
     "rfm_segments": (q_rfm_segments, SQL_RFM_SEGMENTS),
+    "score_auc": (q_score_auc, SQL_SCORE_AUC),
 }

@@ -211,3 +211,33 @@ def test_hll_window_merge_equals_direct_sketch(spark):
         assert out.loc[d, "hll_numerator_w7"] == numer
         assert out.loc[d, "exact_distinct_w7"] == len(users)
         assert out.loc[d, "n_empty_regs"] == sk.HLL_M - len(regs)
+
+
+def test_embedding_quantize_numpy_replay(spark):
+    """Full numpy replay of the int8 path: codes stay in [-127, 127],
+    per-element error is bounded by half a scale step (nearest-multiple
+    rounding), cosine stays near 1 for a 64-dim f32 corpus, and every
+    reported number matches an independent integer-arithmetic replay."""
+    import numpy as np
+
+    out = sk.q_embedding_quantize(spark, SF_DIR).toPandas().set_index("vec_id")
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    mat = np.stack(emb["embedding"].to_numpy())
+    vi = np.floor(mat.astype(np.float64) * sk.Q_GRID + 0.5).astype(np.int64)
+    s = np.maximum(np.abs(vi).max(axis=0), 1)
+    q = np.where(
+        vi >= 0, (254 * vi + s) // (2 * s), -((254 * -vi + s) // (2 * s))
+    )
+    assert np.abs(q).max() <= 127
+    err = 127 * vi - q * s
+    assert (np.abs(err) <= (s + 1) // 2 + 1).all()
+    for k, vid in enumerate(emb["vec_id"]):
+        row = out.loc[vid]
+        assert row["q_err_max"] == np.abs(err[k]).max()
+        assert row["q_err_sse"] == (err[k].astype(object) ** 2).sum()
+        dq = q[k] * s
+        cos = (vi[k] * dq).sum() / np.sqrt((vi[k] ** 2).sum() * 127.0**2) / np.sqrt(
+            (dq.astype(np.float64) ** 2).sum() / 127.0**2
+        )
+        assert row["cos_sim"] == pytest.approx(cos, abs=2e-6)
+    assert (out["cos_sim"] > 0.999).all()

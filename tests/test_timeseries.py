@@ -440,3 +440,43 @@ def test_rfm_segments_semantics(spark):
     }
     core = out[out["segment"] == "core"]
     assert ((core["r_score"] >= 3) & (core["f_score"] >= 3) & (core["m_score"] >= 3)).all()
+
+
+def test_score_auc_midrank_replay(spark, tmp_path):
+    """AUC recomputes from a pandas average-rank (midrank) replay on the
+    real fixture (on the engines' half-up cent grid — pandas round() is
+    half-even and would diverge); a planted stream with one score tie
+    pins the 0.5-credit tie semantics."""
+    import numpy as np
+
+    out = ts.q_score_auc(spark, SF_DIR).toPandas().iloc[0]
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    s = pd.Series(np.floor(ev["value"] * 100 + 0.5)).astype("int64")
+    pos = (ev["event_type"] == "purchase").astype(int)
+    r = s.rank(method="average")
+    npos, nneg = int(pos.sum()), int((1 - pos).sum())
+    want = (r[pos == 1].sum() - npos * (npos + 1) / 2) / (npos * nneg)
+    assert out["n_pos"] == npos and out["n_neg"] == nneg
+    assert out["n_scores"] == s.nunique()
+    assert out["auc"] == pytest.approx(want, abs=1e-6)
+
+    t0 = pd.Timestamp("2025-01-01").as_unit("us")
+    fix = pd.DataFrame(
+        {
+            "event_id": range(1, 7),
+            "ts": [t0] * 6,
+            "user_id": [1] * 6,
+            # neg scores {1, 2, 3} cents, pos {3, 4, 5}: of the 9
+            # pos-neg pairs, 7 are wins, 1 loss-free tie (3 vs 3) at
+            # half credit, 2 plain wins -> AUC = (8 + 0.5) / 9
+            "event_type": ["view", "view", "view",
+                           "purchase", "purchase", "purchase"],
+            "value": [0.01, 0.02, 0.03, 0.03, 0.04, 0.05],
+            "props": ["{}"] * 6,
+        }
+    )
+    fix["ts"] = fix["ts"].astype("datetime64[us]")
+    fix.to_parquet(tmp_path / "events.parquet", index=False)
+    got = ts.q_score_auc(spark, str(tmp_path)).toPandas().iloc[0]
+    assert got["n_pos"] == 3 and got["n_neg"] == 3 and got["n_scores"] == 5
+    assert got["auc"] == pytest.approx(8.5 / 9, abs=1e-6)
