@@ -2096,6 +2096,160 @@ FROM documents d JOIN dim USING (source)
 """
 
 
+# --------------------------------------------------------------------------
+# TPC-H join-shape round-out: semi-join (Q4), HAVING-subquery join (Q18),
+# scalar-subquery + anti-join (Q22)
+# --------------------------------------------------------------------------
+
+BIG_QTY_THRESHOLD = 200  # Q18-style large-volume cut
+BIG_ORDER_PRICE = 400_000  # Q22-style "has ever placed a big order" cut
+
+
+def q_priority_return_rate(spark, sf_dir):
+    """TPC-H Q4 shape — the EXISTS SEMI-JOIN: per order priority, how many
+    orders have at least one returned line. leftsemi is the load-bearing
+    choice: an inner join would duplicate an order once per returned line
+    and need a distinct to undo it (a second corpus-keyed shuffle);
+    leftsemi emits each qualifying order exactly once and Spark plans the
+    existence probe as a build-side-deduped hash join. The two 5-row
+    grouped frames (qualified / total) merge with a broadcast join."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    returned = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    qual = (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey, "leftsemi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_with_returns"))
+    )
+    tot = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    return tot.join(F.broadcast(qual), "o_orderpriority", "left").select(
+        "o_orderpriority",
+        "n_orders",
+        F.coalesce("n_with_returns", F.lit(0)).cast("long").alias("n_with_returns"),
+        F.round(F.coalesce("n_with_returns", F.lit(0)) / F.col("n_orders"), 6).alias(
+            "return_rate"
+        ),
+    )
+
+
+SQL_PRIORITY_RETURN_RATE = """
+WITH q AS (
+  SELECT o_orderpriority, count(*)::BIGINT AS n_with_returns
+  FROM orders
+  WHERE EXISTS (SELECT 1 FROM lineitem
+                WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+  GROUP BY o_orderpriority
+)
+SELECT o.o_orderpriority, count(*)::BIGINT AS n_orders,
+       COALESCE(min(q.n_with_returns), 0)::BIGINT AS n_with_returns,
+       round(COALESCE(min(q.n_with_returns), 0) / count(*)::DOUBLE, 6)
+         AS return_rate
+FROM orders o LEFT JOIN q ON q.o_orderpriority = o.o_orderpriority
+GROUP BY o.o_orderpriority
+"""
+
+
+def q_large_volume_orders(spark, sf_dir):
+    """TPC-H Q18 shape — the HAVING-subquery join: orders whose total line
+    quantity exceeds the threshold, with their customer. Shape choice:
+    aggregate the FACT table first (one hash aggregate with map-side
+    combine collapses lineitem to one row per order), filter to the rare
+    qualifying set, and only then join — broadcast — onto orders, then
+    broadcast the customer dim. Joining before aggregating would shuffle
+    the full lineitem payload; here nothing wider than (orderkey, qty)
+    ever moves, and the post-HAVING set is broadcast-small by
+    construction. Quantity sums are BIGINT (quantities are integral)."""
+    qty = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
+        .where(F.col("sum_qty") > BIG_QTY_THRESHOLD)
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        orders.join(F.broadcast(qty), orders.o_orderkey == qty.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "sum_qty",
+        )
+    )
+
+
+SQL_LARGE_VOLUME_ORDERS = f"""
+SELECT c_name, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+       round(o_totalprice, 2) AS o_totalprice, sum_qty
+FROM (
+  SELECT l_orderkey, SUM(l_quantity::BIGINT) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(l_quantity::BIGINT) > {BIG_QTY_THRESHOLD}
+) q
+JOIN orders ON o_orderkey = q.l_orderkey
+JOIN customer ON c_custkey = o_custkey
+"""
+
+
+def q_dormant_customers(spark, sf_dir):
+    """TPC-H Q22 shape — scalar subquery + NOT-EXISTS anti-join: per
+    market segment, the above-average-balance customers who have never
+    placed a big-ticket order (the re-activation audience). The global
+    average balance is a one-row aggregate broadcast as a cross join
+    (Spark's scalar-subquery device); the NOT EXISTS is a left_anti
+    against the DISTINCT big-order customer keys — distinct-before-join
+    keeps the anti probe side one row per customer, and the anti-join
+    output feeds one segment-grain aggregate. Balance sums are exact
+    integer cents."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_e2"),
+    )
+    avg_bal = cust.agg(
+        (F.sum("bal_e2") / F.count(F.lit(1))).alias("avg_e2")
+    )
+    big = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > BIG_ORDER_PRICE)
+        .select("o_custkey")
+        .distinct()
+    )
+    rich = cust.crossJoin(F.broadcast(avg_bal)).where(
+        F.col("bal_e2") > F.col("avg_e2")
+    )
+    dormant = rich.join(big, rich.c_custkey == big.o_custkey, "left_anti")
+    return dormant.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_dormant"),
+        F.round(F.sum("bal_e2") / 100.0, 2).alias("total_bal"),
+    )
+
+
+SQL_DORMANT_CUSTOMERS = f"""
+WITH c AS (
+  SELECT c_custkey, c_mktsegment, round(c_acctbal * 100)::BIGINT AS bal_e2
+  FROM customer
+), a AS (SELECT SUM(bal_e2) / count(*)::DOUBLE AS avg_e2 FROM c)
+SELECT c_mktsegment, count(*)::BIGINT AS n_dormant,
+       round(SUM(bal_e2) / 100.0, 2) AS total_bal
+FROM c, a
+WHERE c.bal_e2 > a.avg_e2
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > {BIG_ORDER_PRICE})
+GROUP BY c_mktsegment
+"""
+
+
 ANALYTIC_QUERIES: dict[str, tuple] = {
     "regex_token_extract": (q_regex_token_extract, SQL_REGEX_TOKEN_EXTRACT),
     "exact_dedup_md5": (q_exact_dedup_md5, SQL_EXACT_DEDUP_MD5),
@@ -2141,6 +2295,9 @@ ANALYTIC_QUERIES: dict[str, tuple] = {
     "layout_y_lines": (q_layout_y_lines, SQL_LAYOUT_Y_LINES),
     "layout_nearest_heat": (q_layout_nearest_heat, SQL_LAYOUT_NEAREST_HEAT),
     "promo_revenue": (q_promo_revenue, SQL_PROMO_REVENUE),
+    "priority_return_rate": (q_priority_return_rate, SQL_PRIORITY_RETURN_RATE),
+    "large_volume_orders": (q_large_volume_orders, SQL_LARGE_VOLUME_ORDERS),
+    "dormant_customers": (q_dormant_customers, SQL_DORMANT_CUSTOMERS),
     "salted_join": (q_salted_join, SQL_SALTED_JOIN),
     "session_window_builtin": (
         q_session_window_builtin,

@@ -2686,6 +2686,135 @@ FROM l2
 
 
 # --------------------------------------------------------------------------
+# token_entropy — Shannon entropy of each doc's token distribution
+# --------------------------------------------------------------------------
+
+
+def q_token_entropy(spark, sf_dir):
+    """Per-document Shannon entropy of the token distribution, in bits —
+    the randomness/diversity quality signal: word-salad and generated
+    gibberish sit near log2(n) (every token distinct), template/boiler
+    spam sits near 0 (one token dominates). Uses the aggregate identity
+    H = log2(n) - (1/n) * sum(c * log2 c) so the corpus collapses in ONE
+    (doc_id, token)-keyed count + one doc-keyed rollup — the lm_filter
+    discipline: hash aggregates with map-side combine, transcendental
+    terms rounded at 4 so summation order cannot flip the hash. A
+    normalized variant (H / log2(n_tokens)) is included for
+    length-independent thresholding."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    counts = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.col("c") * F.log2("c")).alias("clc"),
+    )
+    h = F.log2("n_tokens") - F.col("clc") / F.col("n_tokens")
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        (F.round(h, 4) + F.lit(0.0)).alias("entropy_bits"),
+        (
+            F.round(
+                F.when(F.col("n_tokens") > 1, h / F.log2("n_tokens")).otherwise(
+                    F.lit(0.0)
+                ),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("entropy_norm"),
+    )
+
+
+SQL_TOKEN_ENTROPY = """
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), c AS (
+  SELECT doc_id, tok, count(*)::BIGINT AS c FROM t GROUP BY doc_id, tok
+), d AS (
+  SELECT doc_id, SUM(c)::BIGINT AS n_tokens, count(*)::BIGINT AS n_types,
+         SUM(c * log2(c)) AS clc
+  FROM c GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_types,
+       round(log2(n_tokens) - clc / n_tokens, 4) + 0.0 AS entropy_bits,
+       round(CASE WHEN n_tokens > 1
+                  THEN (log2(n_tokens) - clc / n_tokens) / log2(n_tokens)
+                  ELSE 0.0 END, 4) + 0.0 AS entropy_norm
+FROM d
+"""
+
+
+# --------------------------------------------------------------------------
+# vocab_growth — Heaps-law vocabulary growth curve in doc_id order
+# --------------------------------------------------------------------------
+
+
+def q_vocab_growth(spark, sf_dir):
+    """Vocabulary growth curve (Heaps' law audit): after each document,
+    in doc_id order, the cumulative token count and cumulative DISTINCT
+    vocabulary — the curve a tokenizer-budget decision reads (vocab
+    still growing fast => corpus undersampled for vocab training). New
+    types are attributed by first occurrence: one (token)-keyed
+    min(doc_id) aggregate, so each token is counted exactly once however
+    often it repeats. Both cumulative sums run through the
+    ``_global_prefix`` two-phase device over the doc-grain frame (two
+    slim passes, no corpus-keyed window, no single-task sort)."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens")
+    )
+    first = toks.groupBy("tok").agg(F.min("doc_id").alias("doc_id"))
+    new_types = first.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_new")
+    )
+    base = per_doc.join(new_types, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+    )
+    p1 = _global_prefix(spark, base, "n_tokens").select(
+        "doc_id",
+        "n_tokens",
+        "n_new",
+        (F.col("_pre") + F.col("n_tokens")).alias("cum_tokens"),
+    )
+    p2 = _global_prefix(spark, p1, "n_new").select(
+        "doc_id",
+        "cum_tokens",
+        (F.col("_pre") + F.col("n_new")).alias("cum_vocab"),
+    )
+    return p2.select(
+        "doc_id",
+        "cum_tokens",
+        "cum_vocab",
+        F.round(F.col("cum_vocab") / F.col("cum_tokens"), 6).alias("ttr"),
+    )
+
+
+SQL_VOCAB_GROWTH = """
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), pd AS (
+  SELECT doc_id, count(*)::BIGINT AS n_tokens FROM t GROUP BY doc_id
+), nw AS (
+  SELECT doc_id, count(*)::BIGINT AS n_new
+  FROM (SELECT tok, min(doc_id) AS doc_id FROM t GROUP BY tok)
+  GROUP BY doc_id
+)
+SELECT pd.doc_id,
+       SUM(pd.n_tokens) OVER (ORDER BY pd.doc_id)::BIGINT AS cum_tokens,
+       SUM(COALESCE(nw.n_new, 0)) OVER (ORDER BY pd.doc_id)::BIGINT
+         AS cum_vocab,
+       round(SUM(COALESCE(nw.n_new, 0)) OVER (ORDER BY pd.doc_id)
+             / SUM(pd.n_tokens) OVER (ORDER BY pd.doc_id)::DOUBLE, 6) AS ttr
+FROM pd LEFT JOIN nw ON nw.doc_id = pd.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # shuffle_skew_audit — group-size distribution of the engine's shuffle keys
 # --------------------------------------------------------------------------
 
@@ -2804,6 +2933,8 @@ DATAPIPE_QUERIES = {
     "referential_integrity": (q_referential_integrity, SQL_REFERENTIAL_INTEGRITY),
     "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
     "shuffle_skew_audit": (q_shuffle_skew_audit, SQL_SHUFFLE_SKEW_AUDIT),
+    "token_entropy": (q_token_entropy, SQL_TOKEN_ENTROPY),
+    "vocab_growth": (q_vocab_growth, SQL_VOCAB_GROWTH),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "dup_ngram_fraction": (q_dup_ngram_fraction, SQL_DUP_NGRAM_FRACTION),
     "gopher_quality": (q_gopher_quality, SQL_GOPHER_QUALITY),

@@ -862,3 +862,52 @@ def test_shuffle_skew_audit_recomputes(spark):
     assert out.loc["documents.source", "skew_factor"] == pytest.approx(
         dsz.max() * dsz.size / len(docs), abs=1e-4
     )
+
+
+def test_token_entropy_replay_and_extremes(spark, tmp_path):
+    """Pandas replay on the real fixture; planted extremes pin the
+    scale: an all-same-token doc has exactly 0 bits, an all-distinct doc
+    has exactly log2(n) bits (norm 1)."""
+    import numpy as np
+
+    out = dp.q_token_entropy(spark, SF_DIR).toPandas().set_index("doc_id")
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    for row in docs.head(25).itertuples():
+        ws = pd.Series(row.text.split(" "))
+        c = ws.value_counts().to_numpy().astype(float)
+        n = c.sum()
+        want = np.log2(n) - (c * np.log2(c)).sum() / n
+        got = out.loc[row.doc_id]
+        assert got["n_tokens"] == n and got["n_types"] == len(c)
+        assert got["entropy_bits"] == pytest.approx(want, abs=1e-3)
+
+    fix = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": ["a a a a a a a a", "t0 t1 t2 t3 t4 t5 t6 t7"],
+        }
+    )
+    fix.to_parquet(tmp_path / "documents.parquet", index=False)
+    got = dp.q_token_entropy(spark, str(tmp_path)).toPandas().set_index("doc_id")
+    assert got.loc[1, "entropy_bits"] == 0.0 and got.loc[1, "entropy_norm"] == 0.0
+    assert got.loc[2, "entropy_bits"] == 3.0 and got.loc[2, "entropy_norm"] == 1.0
+
+
+def test_vocab_growth_cumulative_replay(spark):
+    """Set-union replay in doc_id order: cum_vocab equals the running
+    distinct-token count at every prefix, cum_tokens the running token
+    count, and the final point equals the corpus totals."""
+    out = dp.q_vocab_growth(spark, SF_DIR).toPandas().sort_values("doc_id")
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet").sort_values("doc_id")
+    seen: set = set()
+    cum_t = 0
+    it = out.itertuples(index=False)
+    for drow, orow in zip(docs.itertuples(index=False), it):
+        ws = drow.text.split(" ")
+        cum_t += len(ws)
+        seen.update(ws)
+        assert orow.doc_id == drow.doc_id
+        assert orow.cum_tokens == cum_t
+        assert orow.cum_vocab == len(seen)
+        assert orow.ttr == pytest.approx(len(seen) / cum_t, abs=1e-6)
+    assert (out["cum_vocab"].diff().dropna() >= 0).all()

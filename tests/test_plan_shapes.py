@@ -303,3 +303,23 @@ def test_hll_window_sketch_merges_map_side(spark):
     p = _plan(q_hll_window_distinct(spark, SF_DIR))
     assert "partial_max" in p
     assert "CartesianProduct" not in p
+
+
+def test_tpch_shapes_semi_broadcast_anti(spark):
+    """Q4/Q18/Q22 shapes keep their load-bearing operators: the return
+    probe is a real LeftSemi (one row per qualifying order, no distinct
+    repair), the post-HAVING large-volume set broadcasts onto orders,
+    and the dormant probe is a BroadcastHashJoin LeftAnti."""
+    from pdf_parser_spark.analytics.queries import (
+        q_dormant_customers,
+        q_large_volume_orders,
+        q_priority_return_rate,
+    )
+
+    p = _plan(q_priority_return_rate(spark, SF_DIR))
+    assert "LeftSemi" in p
+    p = _plan(q_large_volume_orders(spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    p = _plan(q_dormant_customers(spark, SF_DIR))
+    assert "LeftAnti" in p and "BroadcastHashJoin" in p

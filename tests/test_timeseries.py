@@ -480,3 +480,46 @@ def test_score_auc_midrank_replay(spark, tmp_path):
     got = ts.q_score_auc(spark, str(tmp_path)).toPandas().iloc[0]
     assert got["n_pos"] == 3 and got["n_neg"] == 3 and got["n_scores"] == 5
     assert got["auc"] == pytest.approx(8.5 / 9, abs=1e-6)
+
+
+def test_tpch_shape_semantics(spark):
+    """Pandas recompute of all three join-shape queries at sf0.001:
+    semi-join counts distinct qualifying orders (never per-line), the
+    HAVING threshold binds both ways, and the dormant audience is
+    above-average balance minus big-order customers (both filters
+    non-vacuous)."""
+    from pdf_parser_spark.analytics.queries import (
+        BIG_ORDER_PRICE,
+        BIG_QTY_THRESHOLD,
+        q_dormant_customers,
+        q_large_volume_orders,
+        q_priority_return_rate,
+    )
+
+    orders = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    cust = pd.read_parquet(f"{SF_DIR}/customer.parquet")
+
+    out = q_priority_return_rate(spark, SF_DIR).toPandas().set_index("o_orderpriority")
+    ret_orders = set(li[li.l_returnflag == "R"]["l_orderkey"])
+    for prio, g in orders.groupby("o_orderpriority"):
+        n_q = g["o_orderkey"].isin(ret_orders).sum()
+        assert out.loc[prio, "n_orders"] == len(g)
+        assert out.loc[prio, "n_with_returns"] == n_q
+    assert (out["n_with_returns"] < out["n_orders"]).any()
+    assert (out["n_with_returns"] > 0).any()
+
+    big = q_large_volume_orders(spark, SF_DIR).toPandas()
+    qty = li.groupby("l_orderkey")["l_quantity"].sum().astype("int64")
+    want_keys = set(qty[qty > BIG_QTY_THRESHOLD].index)
+    assert set(big["o_orderkey"]) == want_keys
+    assert 0 < len(want_keys) < len(qty)
+    assert (big["sum_qty"] > BIG_QTY_THRESHOLD).all()
+
+    dorm = q_dormant_customers(spark, SF_DIR).toPandas()
+    bal = (cust["c_acctbal"] * 100).round().astype("int64")
+    rich = cust[bal > bal.mean()]
+    big_cust = set(orders[orders.o_totalprice > BIG_ORDER_PRICE]["o_custkey"])
+    want = rich[~rich["c_custkey"].isin(big_cust)]
+    assert dorm["n_dormant"].sum() == len(want)
+    assert 0 < len(want) < len(rich), "both filters must bind"
