@@ -1109,6 +1109,102 @@ FROM documents, UNNEST(range(0, 8)) AS t(k)
 """
 
 
+MEDIA_BAND_CAP = 200  # same count-first hot-bucket guard as MinHash-LSH
+MEDIA_HAM_MAX = 8  # verified-pair Hamming acceptance
+
+
+def q_media_phash_dedup(spark, sf_dir):
+    """Image/media near-dup over the BINARY payload column — the LAION-
+    style pipeline: perceptual hash (64 sign bits, Arrow-batched stub —
+    multimodal.phash_media) → 4x16-bit band LSH for Hamming candidates →
+    exact popcount verify. The text near-dup stack (MinHash/SimHash)
+    cannot see media; this is its multimodal twin, and together they
+    cover both halves of an interleaved text+media corpus.
+
+    Scale shape, same discipline as minhash_band_candidates: bucket
+    sizes are counted FIRST and buckets above ``MEDIA_BAND_CAP`` emit no
+    pairs (a black-image mega-bucket would otherwise go quadratic);
+    candidate pairs carry only two BIGINT keys; the verify is four JVM
+    ``bit_count(xor)`` ops per pair via two hash joins against the slim
+    (doc, 4-band) frame — no payload bytes move past the phash stage."""
+    from .. import multimodal
+
+    media = multimodal.synth_media(_t(spark, sf_dir, "documents"))
+    ph = multimodal.phash_media(media).select(
+        F.expr("CAST(substring(media_ref, 9) AS BIGINT)").alias("doc_id"),
+        "b0",
+        "b1",
+        "b2",
+        "b3",
+    )
+    melted = ph.select(
+        "doc_id",
+        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("band", "bv"),
+    )
+    cool = (
+        melted.groupBy("band", "bv")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") <= MEDIA_BAND_CAP)
+        .select("band", "bv")
+    )
+    gated = melted.join(cool, ["band", "bv"])
+    cand = (
+        gated.alias("x")
+        .join(
+            gated.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bv") == F.col("y.bv"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("da"), F.col("y.doc_id").alias("db"))
+        .distinct()
+    )
+    pa = ph.select(
+        F.col("doc_id").alias("da"), *[F.col(f"b{i}").alias(f"xa{i}") for i in range(4)]
+    )
+    pb = ph.select(
+        F.col("doc_id").alias("db"), *[F.col(f"b{i}").alias(f"xb{i}") for i in range(4)]
+    )
+    ham = sum(
+        F.bit_count(F.col(f"xa{i}").bitwiseXOR(F.col(f"xb{i}"))) for i in range(4)
+    )
+    return (
+        cand.join(pa, "da")
+        .join(pb, "db")
+        .select("da", "db", ham.cast("long").alias("hamming"))
+        .where(F.col("hamming") <= MEDIA_HAM_MAX)
+    )
+
+
+SQL_MEDIA_PHASH_DEDUP = f"""
+WITH bits AS (
+  SELECT doc_id, k,
+         CASE WHEN (doc_id + 4 * k) % 256 > 127 THEN 1 ELSE 0 END AS bit
+  FROM documents, UNNEST(range({64})) AS t(k)
+), bands AS (
+  SELECT doc_id, (k // 16)::INT AS band, SUM(bit << (k % 16))::INT AS bv
+  FROM bits GROUP BY doc_id, k // 16
+), cool AS (
+  SELECT band, bv FROM bands GROUP BY band, bv
+  HAVING count(*) <= {MEDIA_BAND_CAP}
+), gated AS (
+  SELECT b.doc_id, b.band, b.bv FROM bands b JOIN cool USING (band, bv)
+), cand AS (
+  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+  FROM gated x
+  JOIN gated y ON y.band = x.band AND y.bv = x.bv AND x.doc_id < y.doc_id
+), ham AS (
+  SELECT c.da, c.db,
+         SUM(CASE WHEN xa.bit <> xb.bit THEN 1 ELSE 0 END)::BIGINT AS hamming
+  FROM cand c
+  JOIN bits xa ON xa.doc_id = c.da
+  JOIN bits xb ON xb.doc_id = c.db AND xb.k = xa.k
+  GROUP BY c.da, c.db
+)
+SELECT da, db, hamming FROM ham WHERE hamming <= {MEDIA_HAM_MAX}
+"""
+
+
 # --------------------------------------------------------------------------
 # Text analysis: language-ID (the synthetic text carries no real language
 # signal, so this checks the operator's scoring/argmax, not label recovery)
@@ -2281,6 +2377,7 @@ ANALYTIC_QUERIES: dict[str, tuple] = {
     "media_decode": (q_media_decode, SQL_MEDIA_DECODE),
     "media_frame_sample": (q_media_frame_sample, SQL_MEDIA_FRAME_SAMPLE),
     "media_features": (q_media_features, SQL_MEDIA_FEATURES),
+    "media_phash_dedup": (q_media_phash_dedup, SQL_MEDIA_PHASH_DEDUP),
     "lang_id_ngram": (q_lang_id_ngram, SQL_LANG_ID_NGRAM),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "embedding_ivf_knn": (q_embedding_ivf_knn, SQL_EMBEDDING_IVF_KNN),

@@ -133,6 +133,45 @@ def sample_frames(media: DataFrame, every: int = 10) -> DataFrame:
     )
 
 
+PHASH_BITS = 64
+PHASH_BANDS = 4  # 4 bands x 16 bits — the LAION-style banding for Hamming ANN
+PHASH_SCHEMA = "media_ref string, b0 int, b1 int, b2 int, b3 int"
+
+
+def phash_media(media: DataFrame) -> DataFrame:
+    """Perceptual-hash stub over the binary payload: 64 sign bits of
+    strided body bytes (stands in for the DCT-sign pHash; the Arrow batch
+    path, the bit packing, and the banding downstream are the real
+    engineering). Emitted directly as four 16-bit band integers — the
+    form the Hamming-LSH join consumes — so no engine ever assembles a
+    signed 64-bit value (bit 63 would wrap differently across engines).
+
+    Real deployment: replace the byte-stride threshold with
+    imagehash.phash / a DCT over the decoded frame; the schema and every
+    operator after this stage are unchanged."""
+
+    def ph(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            bands: list[list[int]] = [[] for _ in range(PHASH_BANDS)]
+            for p in pdf["payload"]:
+                body = np.frombuffer(p[HEADER_SIZE:], dtype=np.uint8)
+                stride = max(1, body.size // PHASH_BITS)
+                bits = (body[:: stride][:PHASH_BITS] > 127).astype(np.int64)
+                bits = np.pad(bits, (0, PHASH_BITS - bits.size))
+                per = PHASH_BITS // PHASH_BANDS
+                for b in range(PHASH_BANDS):
+                    chunk = bits[b * per : (b + 1) * per]
+                    bands[b].append(int((chunk << np.arange(per)).sum()))
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf["media_ref"],
+                    **{f"b{b}": bands[b] for b in range(PHASH_BANDS)},
+                }
+            )
+
+    return media.select("media_ref", "payload").mapInPandas(ph, PHASH_SCHEMA)
+
+
 def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
     """Feature extraction stub: a deterministic ``dim``-float vector from
     payload bytes (mean of byte-value strides — stands in for a CNN/CLIP

@@ -68,3 +68,64 @@ def test_features_deterministic_across_partitionings(docs):
     bm = {r["media_ref"]: list(r["feature"]) for _, r in b.iterrows()}
     assert am == bm
     assert all(len(v) == 8 for v in am.values())
+
+
+def test_phash_bits_numpy_replay(media):
+    """Band integers replay from a numpy recompute over the raw payload
+    bytes; consecutive doc_ids differ in exactly 2 phash bits (one per
+    flip boundary), so the Hamming signal is non-vacuous by design."""
+    import numpy as np
+
+    ph = M.phash_media(media).toPandas()
+    ph["doc_id"] = ph["media_ref"].str.slice(8).astype(int)
+    ph = ph.set_index("doc_id").sort_index()
+    for d in range(0, 40):
+        body = np.array([(d + j) % 256 for j in range(256)], dtype=np.uint8)
+        bits = (body[::4][:64] > 127).astype(int)
+        for b in range(4):
+            want = int(sum(bits[b * 16 + k] << k for k in range(16)))
+            assert ph.loc[d, f"b{b}"] == want
+    full = {
+        d: np.array(
+            [((d + 4 * k) % 256) > 127 for k in range(64)], dtype=int
+        )
+        for d in range(0, 41)
+    }
+    # a +1 step flips bits only when it crosses a 127/255 byte boundary,
+    # which the stride-4 sampling sees iff d % 4 == 3 (then exactly two
+    # strided positions cross: one at 127->128, one at 255->0)
+    for d in range(0, 40):
+        want_flips = 2 if d % 4 == 3 else 0
+        assert (full[d] != full[d + 1]).sum() == want_flips
+
+
+def test_media_phash_dedup_guard_and_verify(spark, tmp_path):
+    """Planted corpus: a planted
+    mega-bucket (> MEDIA_BAND_CAP docs with identical phash) must emit
+    ZERO pairs from its buckets (count-first guard), while a small group
+    of 3 near-identical docs still pairs up."""
+    import pandas as pd
+
+    from pdf_parser_spark.analytics.queries import (
+        MEDIA_BAND_CAP,
+        q_media_phash_dedup,
+    )
+
+    # mega-bucket: 0, 256, 512, ... (identical phash), MEDIA_BAND_CAP+20 of
+    # them; cool group at the OPPOSITE half of the byte range (residue 128
+    # flips every band vs residue 0, so no bucket is shared with the hot
+    # set): 128, 384, 640 (identical phash, 3 docs)
+    hot = [256 * i for i in range(MEDIA_BAND_CAP + 20)]
+    cool = [128, 384, 640]
+    ids = sorted(set(hot) | set(cool))
+    pd.DataFrame({"doc_id": ids, "text": ["x"] * len(ids),
+                  "source": ["src1"] * len(ids),
+                  "n_chars": [1] * len(ids)}).to_parquet(
+        tmp_path / "documents.parquet", index=False
+    )
+    out = q_media_phash_dedup(spark, str(tmp_path)).toPandas()
+    hotset = set(hot) - set(cool)
+    assert not out["da"].isin(hotset).any() and not out["db"].isin(hotset).any()
+    got_cool = out[out["da"].isin(cool) & out["db"].isin(cool)]
+    assert len(got_cool) == 3  # C(3,2) pairs, all hamming 0
+    assert (got_cool["hamming"] == 0).all()
