@@ -1205,6 +1205,152 @@ def q_score_auc(spark, sf_dir):
     )
 
 
+ATTR_WINDOW_US = 7 * 86400 * 1_000_000  # 7-day attribution lookback
+
+
+def q_attribution_linear(spark, sf_dir):
+    """Linear multi-touch attribution: every purchase's value is split
+    equally across that user's views in the preceding 7 days, and each
+    view reports its accumulated credit — the marketing-analytics
+    workload that as-of (last-touch) cannot express because credit fans
+    out to ALL qualifying touches.
+
+    Shape: one equi-join on user_id with the range predicate applied as
+    a join filter — per-user histories are the natural unit and the join
+    never goes wider than views_per_user x purchases_per_user (a
+    mega-user is the usual salt/sessionize case, documented at
+    event_transitions). The touch count per purchase is a window over
+    pid — purchase-grain, bounded by touches-per-purchase, never the
+    corpus. Credit arithmetic: integer cents divided by the integer
+    touch count, both engines computing the identical rational, rounded
+    at 4 after the per-view sum."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("et"),
+        F.round(F.col("value") * 100).cast("long").alias("v_e2"),
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), F.col("et").alias("vt")
+    )
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("pid"),
+        F.col("et").alias("pt"),
+        "v_e2",
+    )
+    pairs = views.join(
+        purch,
+        [
+            views.user_id == purch.user_id,
+            views.vt <= purch.pt,
+            views.vt > purch.pt - ATTR_WINDOW_US,
+        ],
+    ).select(views.user_id, "view_id", "pid", "v_e2")
+    wp = Window.partitionBy("pid")
+    credited = pairs.select(
+        "user_id",
+        "view_id",
+        "pid",
+        (F.col("v_e2") / F.count(F.lit(1)).over(wp)).alias("credit_e2"),
+    )
+    return credited.groupBy("user_id", "view_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+        F.round(F.sum("credit_e2") / 100.0, 4).alias("credit"),
+    )
+
+
+SQL_ATTRIBUTION_LINEAR = f"""
+WITH ev AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS et,
+         round(value * 100)::BIGINT AS v_e2
+  FROM events
+), v AS (
+  SELECT user_id, event_id AS view_id, et AS vt FROM ev
+  WHERE event_type = 'view'
+), p AS (
+  SELECT user_id, event_id AS pid, et AS pt, v_e2 FROM ev
+  WHERE event_type = 'purchase'
+), pairs AS (
+  SELECT v.user_id, v.view_id, p.pid, p.v_e2
+  FROM v JOIN p ON p.user_id = v.user_id
+   AND v.vt <= p.pt AND v.vt > p.pt - {ATTR_WINDOW_US}
+), credited AS (
+  SELECT user_id, view_id, pid,
+         v_e2 / (count(*) OVER (PARTITION BY pid))::DOUBLE AS credit_e2
+  FROM pairs
+)
+SELECT user_id, view_id, count(*)::BIGINT AS n_purchases,
+       round(SUM(credit_e2) / 100.0, 4) AS credit
+FROM credited
+GROUP BY user_id, view_id
+"""
+
+
+BM_WORD_BITS = 63  # bits per bitmap word (63 keeps 1<<bit positive BIGINT)
+
+
+def q_bitmap_distinct_window(spark, sf_dir):
+    """EXACT daily + trailing-7-day distinct users via mergeable BITMAP
+    words — the ClickHouse/Druid device, and the exact complement of
+    hll_window_distinct: each day's events collapse once into
+    (word = user div 63, bits = OR of 1<<(user mod 63)) states; every
+    overlapping window is then a bitwise-OR RANGE window over the dense
+    day x word grid and a popcount rollup — the raw events are scanned
+    exactly once however many windows overlap them. State is
+    n_users/63 words per day (the inherent cost of exactness; HLL is
+    the lossy alternative when even that is too wide). 63 bits per word
+    so ``shiftleft(1L, bit)`` never touches the sign bit, which the two
+    engines wrap differently.
+
+    The oracle computes the same numbers by a DIFFERENT algorithm
+    (count(DISTINCT ..) per day and per window), so the hash equality is
+    a true cross-algorithm check."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.unix_date(F.col("ts").cast("date")).cast("long").alias("day"),
+        F.expr(f"user_id div {BM_WORD_BITS}").alias("w"),
+        F.expr(
+            f"shiftleft(1L, CAST(user_id % {BM_WORD_BITS} AS INT))"
+        ).alias("b"),
+    )
+    daily = ev.groupBy("day", "w").agg(F.expr("bit_or(b)").alias("bits"))
+    days = daily.select("day").distinct()
+    words = daily.select("w").distinct()
+    grid = days.crossJoin(F.broadcast(words))
+    dense = grid.join(daily, ["day", "w"], "left")
+    win = Window.partitionBy("w").orderBy("day").rangeBetween(-6, 0)
+    merged = dense.select(
+        "day",
+        F.coalesce("bits", F.lit(0)).alias("bits"),
+        F.expr("bit_or(bits)").over(win).alias("bits_w7"),
+    )
+    return merged.groupBy("day").agg(
+        F.sum(F.bit_count("bits")).cast("long").alias("distinct_day"),
+        F.sum(F.bit_count(F.coalesce("bits_w7", F.lit(0))))
+        .cast("long")
+        .alias("distinct_w7"),
+    )
+
+
+SQL_BITMAP_DISTINCT_WINDOW = """
+WITH ev AS (
+  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))::BIGINT AS day,
+         user_id
+  FROM events
+), d AS (
+  SELECT day, count(DISTINCT user_id)::BIGINT AS distinct_day
+  FROM ev GROUP BY day
+), w AS (
+  SELECT dd.day, count(DISTINCT ev.user_id)::BIGINT AS distinct_w7
+  FROM (SELECT DISTINCT day FROM ev) dd
+  JOIN ev ON ev.day BETWEEN dd.day - 6 AND dd.day
+  GROUP BY dd.day
+)
+SELECT day, distinct_day, distinct_w7 FROM d JOIN w USING (day)
+"""
+
+
 SQL_SCORE_AUC = """
 WITH e AS (
   SELECT round(value * 100)::BIGINT AS s,
@@ -1265,4 +1411,9 @@ TIMESERIES_QUERIES: dict[str, tuple] = {
     "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
     "rfm_segments": (q_rfm_segments, SQL_RFM_SEGMENTS),
     "score_auc": (q_score_auc, SQL_SCORE_AUC),
+    "attribution_linear": (q_attribution_linear, SQL_ATTRIBUTION_LINEAR),
+    "bitmap_distinct_window": (
+        q_bitmap_distinct_window,
+        SQL_BITMAP_DISTINCT_WINDOW,
+    ),
 }

@@ -523,3 +523,63 @@ def test_tpch_shape_semantics(spark):
     want = rich[~rich["c_custkey"].isin(big_cust)]
     assert dorm["n_dormant"].sum() == len(want)
     assert 0 < len(want) < len(rich), "both filters must bind"
+
+
+def test_attribution_linear_conservation_and_split(spark, tmp_path):
+    """Credit is conserved: total credited value equals the value of
+    every purchase with >=1 in-window view (pandas replay). A planted
+    stream pins the split: two in-window views share a 1.00 purchase
+    50/50, an out-of-window view gets nothing."""
+    out = ts.q_attribution_linear(spark, SF_DIR).toPandas()
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    ev["et"] = (ev["ts"] - pd.Timestamp(0)) // pd.Timedelta(microseconds=1)
+    views = ev[ev.event_type == "view"]
+    total_attr = 0
+    for p in ev[ev.event_type == "purchase"].itertuples():
+        vu = views[(views.user_id == p.user_id)
+                   & (views.et <= p.et)
+                   & (views.et > p.et - ts.ATTR_WINDOW_US)]
+        if len(vu):
+            total_attr += round(p.value * 100)
+    assert out["credit"].sum() == pytest.approx(total_attr / 100.0, abs=0.01)
+
+    t0 = pd.Timestamp("2025-03-01").as_unit("us")
+    day = pd.Timedelta(days=1)
+    fix = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4],
+            "ts": [t0 - day * 10, t0 - day * 2, t0 - day, t0],
+            "user_id": [5, 5, 5, 5],
+            "event_type": ["view", "view", "view", "purchase"],
+            "value": [0.0, 0.0, 0.0, 1.0],
+            "props": ["{}"] * 4,
+        }
+    )
+    fix["ts"] = fix["ts"].astype("datetime64[us]")
+    fix.to_parquet(tmp_path / "events.parquet", index=False)
+    got = (
+        ts.q_attribution_linear(spark, str(tmp_path))
+        .toPandas()
+        .set_index("view_id")
+    )
+    assert 1 not in got.index  # 10 days back: outside the window
+    assert got.loc[2, "credit"] == got.loc[3, "credit"] == 0.5
+    assert (got["n_purchases"] == 1).all()
+
+
+def test_bitmap_distinct_window_exact(spark):
+    """The bitmap-merge numbers equal a pandas exact distinct for every
+    day (daily and trailing-7), and the window dominates the day."""
+    out = (
+        ts.q_bitmap_distinct_window(spark, SF_DIR)
+        .toPandas()
+        .set_index("day")
+        .sort_index()
+    )
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    ev["day"] = (ev["ts"] - pd.Timestamp(0)).dt.days
+    for day, g in ev.groupby("day"):
+        assert out.loc[day, "distinct_day"] == g["user_id"].nunique()
+        w = ev[(ev.day >= day - 6) & (ev.day <= day)]
+        assert out.loc[day, "distinct_w7"] == w["user_id"].nunique()
+    assert (out["distinct_w7"] >= out["distinct_day"]).all()
