@@ -1288,6 +1288,157 @@ GROUP BY user_id, view_id
 """
 
 
+AB_VALUE_MIN = 90  # premium-purchase cut — binding both ways on the fixture
+
+
+def q_ab_test_purchase(spark, sf_dir):
+    """Experiment readout: users are deterministically assigned to two
+    variants by the portable Knuth hash of user_id (the same
+    lineage-stable assignment device as stratified_sample — rand() would
+    unbalance on re-run), conversion = fraction of users with >=1
+    premium purchase (value > AB_VALUE_MIN — a plain any-purchase
+    definition saturates to 1.0 on this fixture and zeroes the pooled
+    variance), and the two-proportion pooled z-statistic decides
+    significance. All counts are exact integers from two narrow
+    aggregates (user-grain, then variant-grain = 2 rows); the z is
+    computed once from those six integers and rounded at 4 — no per-row
+    float ever aggregates.
+
+    At 100 TB this is the shape experiment platforms actually run:
+    assignment is a pure hash (no assignment table to join), the user
+    rollup is one map-side-combining aggregate, and everything after is
+    driver-free arithmetic on a two-row frame."""
+    from .datapipe import _HASH_MOD, _HASH_MULT, _HASH_PRE
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        (
+            (F.col("event_type") == "purchase")
+            & (F.col("value") > AB_VALUE_MIN)
+        )
+        .cast("long")
+        .alias("p"),
+    )
+    users = ev.groupBy("user_id").agg(
+        F.max("p").alias("converted")
+    ).select(
+        (
+            (F.col("user_id") % _HASH_PRE) * _HASH_MULT % _HASH_MOD % 2
+        ).cast("int").alias("variant"),
+        "converted",
+    )
+    v = users.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").cast("long").alias("n_converted"),
+    )
+    stats = (
+        v.agg(
+            F.sum("n_users").alias("n"),
+            F.sum("n_converted").alias("c"),
+            F.sum(F.when(F.col("variant") == 0, F.col("n_users"))).alias("n0"),
+            F.sum(F.when(F.col("variant") == 0, F.col("n_converted"))).alias(
+                "c0"
+            ),
+            F.sum(F.when(F.col("variant") == 1, F.col("n_users"))).alias("n1"),
+            F.sum(F.when(F.col("variant") == 1, F.col("n_converted"))).alias(
+                "c1"
+            ),
+        )
+        .select(
+            F.round(
+                (F.col("c1") / F.col("n1") - F.col("c0") / F.col("n0"))
+                / F.sqrt(
+                    (F.col("c") / F.col("n"))
+                    * (1 - F.col("c") / F.col("n"))
+                    * (1 / F.col("n0") + 1 / F.col("n1"))
+                ),
+                4,
+            ).alias("zscore")
+        )
+    )
+    return v.crossJoin(F.broadcast(stats)).select(
+        "variant",
+        "n_users",
+        "n_converted",
+        F.round(F.col("n_converted") / F.col("n_users"), 6).alias("cvr"),
+        "zscore",
+    )
+
+
+SQL_AB_TEST_PURCHASE = f"""
+WITH u AS (
+  SELECT user_id,
+         ((user_id % 2147483647) * 2654435761 % 4294967296 % 2)::INT
+           AS variant,
+         max(CASE WHEN event_type = 'purchase' AND value > {AB_VALUE_MIN}
+                  THEN 1 ELSE 0 END)::BIGINT AS converted
+  FROM events GROUP BY user_id
+), v AS (
+  SELECT variant, count(*)::BIGINT AS n_users,
+         SUM(converted)::BIGINT AS n_converted
+  FROM u GROUP BY variant
+), s AS (
+  SELECT round(
+      (max(CASE WHEN variant = 1 THEN n_converted / n_users::DOUBLE END)
+       - max(CASE WHEN variant = 0 THEN n_converted / n_users::DOUBLE END))
+      / sqrt((SUM(n_converted) / SUM(n_users)::DOUBLE)
+             * (1 - SUM(n_converted) / SUM(n_users)::DOUBLE)
+             * (1 / max(CASE WHEN variant = 0 THEN n_users::DOUBLE END)
+                + 1 / max(CASE WHEN variant = 1 THEN n_users::DOUBLE END))),
+      4) AS zscore
+  FROM v
+)
+SELECT variant, n_users, n_converted,
+       round(n_converted / n_users::DOUBLE, 6) AS cvr, s.zscore
+FROM v, s
+"""
+
+
+COPURCHASE_TOP_K = 25
+
+
+def q_copurchase_pairs(spark, sf_dir):
+    """Market-basket co-occurrence: the top-K part pairs that appear in
+    the same order. The pair generation is IN-ROW (collect the order's
+    sorted distinct parts — baskets are small by nature — then the same
+    upper-triangle transform/flatten device as embedding_covariance), so
+    the quadratic blowup is bounded by basket size, never by corpus
+    size, and a self-join of lineitem against itself (|order| x |order|
+    rows through a shuffle) never happens. One hash aggregate counts
+    pairs; the top-K is TakeOrdered (per-partition heap + K-row driver
+    merge), deterministically tie-broken by the pair itself."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(parts, (x, i) ->"
+                " transform(slice(parts, i + 2, size(parts) - i - 1),"
+                "           y -> struct(x AS pa, y AS pb))))"
+            )
+        ).alias("e")
+    ).select("e.pa", "e.pb")
+    return (
+        pairs.groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "pa", "pb")
+        .limit(COPURCHASE_TOP_K)
+    )
+
+
+SQL_COPURCHASE_PAIRS = f"""
+WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS pa, c.l_partkey AS pb, count(*)::BIGINT AS n_orders
+FROM b a JOIN b c ON c.l_orderkey = a.l_orderkey
+                 AND a.l_partkey < c.l_partkey
+GROUP BY 1, 2
+ORDER BY n_orders DESC, pa, pb
+LIMIT {COPURCHASE_TOP_K}
+"""
+
+
 BM_WORD_BITS = 63  # bits per bitmap word (63 keeps 1<<bit positive BIGINT)
 
 
@@ -1412,6 +1563,8 @@ TIMESERIES_QUERIES: dict[str, tuple] = {
     "rfm_segments": (q_rfm_segments, SQL_RFM_SEGMENTS),
     "score_auc": (q_score_auc, SQL_SCORE_AUC),
     "attribution_linear": (q_attribution_linear, SQL_ATTRIBUTION_LINEAR),
+    "ab_test_purchase": (q_ab_test_purchase, SQL_AB_TEST_PURCHASE),
+    "copurchase_pairs": (q_copurchase_pairs, SQL_COPURCHASE_PAIRS),
     "bitmap_distinct_window": (
         q_bitmap_distinct_window,
         SQL_BITMAP_DISTINCT_WINDOW,

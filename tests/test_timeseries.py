@@ -583,3 +583,53 @@ def test_bitmap_distinct_window_exact(spark):
         w = ev[(ev.day >= day - 6) & (ev.day <= day)]
         assert out.loc[day, "distinct_w7"] == w["user_id"].nunique()
     assert (out["distinct_w7"] >= out["distinct_day"]).all()
+
+
+def test_ab_test_zscore_replay(spark):
+    """Variant assignment replays from the Knuth hash, conversion from a
+    pandas groupby, and the pooled two-proportion z from the six
+    integers; both variants non-empty and conversion not saturated."""
+    import numpy as np
+
+    out = ts.q_ab_test_purchase(spark, SF_DIR).toPandas().set_index("variant")
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    conv = (
+        ev.assign(p=((ev.event_type == "purchase") & (ev.value > ts.AB_VALUE_MIN)))
+        .groupby("user_id")["p"]
+        .max()
+    )
+    var = (conv.index % 2147483647) * 2654435761 % 4294967296 % 2
+    n = conv.groupby(var).size()
+    c = conv.groupby(var).sum()
+    for v in (0, 1):
+        assert out.loc[v, "n_users"] == n[v]
+        assert out.loc[v, "n_converted"] == c[v]
+    assert 0 < c.sum() < n.sum(), "conversion must not saturate"
+    p_pool = c.sum() / n.sum()
+    z = (c[1] / n[1] - c[0] / n[0]) / np.sqrt(
+        p_pool * (1 - p_pool) * (1 / n[0] + 1 / n[1])
+    )
+    assert out["zscore"].iloc[0] == pytest.approx(z, abs=1e-4)
+    assert out["zscore"].nunique() == 1
+
+
+def test_copurchase_pairs_basket_replay(spark):
+    """Top-K pair counts replay from a pandas per-order basket expansion
+    (distinct parts, unordered pairs, a < b); the in-row generation must
+    equal the naive self-join semantics."""
+    from itertools import combinations
+
+    from pdf_parser_spark.timeseries import COPURCHASE_TOP_K
+
+    out = ts.q_copurchase_pairs(spark, SF_DIR).toPandas()
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    counts: dict = {}
+    for _, g in li.groupby("l_orderkey"):
+        for a, b in combinations(sorted(set(g["l_partkey"])), 2):
+            counts[(a, b)] = counts.get((a, b), 0) + 1
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[
+        :COPURCHASE_TOP_K
+    ]
+    got = [((r.pa, r.pb), r.n_orders) for r in out.itertuples(index=False)]
+    assert got == want
+    assert len(got) == COPURCHASE_TOP_K
