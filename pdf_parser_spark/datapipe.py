@@ -2686,6 +2686,101 @@ FROM l2
 
 
 # --------------------------------------------------------------------------
+# span_contract_audit — in-row data contract over the interleaved span table
+# --------------------------------------------------------------------------
+
+
+def q_span_contract_audit(spark, sf_dir):
+    """Data-contract audit of the engine's OWN input shape — the
+    interleaved-document table (doc_id, spans: array<struct<kind, text,
+    media_ref, offset>>) the north rule names: per document, span/kind
+    counts, offset monotonicity, the media_ref <-> kind='media'
+    biconditional, the text/media interleave run count, and the largest
+    offset gap (layout-hole detector). Everything is an IN-ROW
+    higher-order function over the spans array — the audit is a pure
+    scan with zero shuffle and zero Python, so at 10^12 docs it costs
+    one pass and parallelizes perfectly. Single-span docs are guarded
+    (Spark's sequence(2, 1) would DESCEND, not return empty)."""
+    from .driver_contract import corpus_path, ensure_corpus, sf_of
+
+    sf = sf_of(sf_dir)
+    ensure_corpus(sf, with_expected=False)
+    docs = spark.read.parquet(corpus_path(sf))
+    return _span_audit_frame(docs)
+
+
+def _span_audit_frame(docs: DataFrame) -> DataFrame:
+    """The in-row audit itself, split out so tests can feed planted
+    violation frames (the driver corpus is contract-clean by
+    construction, which would leave the False branches untested)."""
+    return docs.select(
+        "doc_id",
+        F.size("spans").cast("long").alias("n_spans"),
+        F.expr("size(filter(spans, s -> s.kind = 'text'))")
+        .cast("long")
+        .alias("n_text"),
+        F.expr("size(filter(spans, s -> s.kind = 'table'))")
+        .cast("long")
+        .alias("n_table"),
+        F.expr("size(filter(spans, s -> s.kind = 'media'))")
+        .cast("long")
+        .alias("n_media"),
+        F.expr(
+            "array_sort(transform(spans, s -> s.offset))"
+            " = transform(spans, s -> s.offset)"
+        ).alias("offsets_sorted"),
+        F.expr(
+            "size(filter(spans, s ->"
+            " (s.kind = 'media') != (s.media_ref != ''))) = 0"
+        ).alias("media_refs_ok"),
+        F.expr(
+            "CASE WHEN size(spans) >= 2 THEN"
+            " size(filter(sequence(2, size(spans)), i ->"
+            "   element_at(spans, i).kind != element_at(spans, i - 1).kind))"
+            " ELSE 0 END"
+        )
+        .cast("long")
+        .alias("interleave_runs"),
+        F.expr(
+            "CASE WHEN size(spans) >= 2 THEN"
+            " array_max(transform(sequence(2, size(spans)), i ->"
+            "   CAST(element_at(spans, i).offset AS BIGINT)"
+            "   - element_at(spans, i - 1).offset))"
+            " ELSE 0 END"
+        )
+        .cast("long")
+        .alias("max_gap"),
+    )
+
+
+def _sql_span_contract_audit(sf: str) -> str:
+    from .driver_contract import corpus_path, ensure_corpus
+
+    ensure_corpus(sf, with_expected=False)
+    return f"""
+SELECT doc_id,
+       len(spans)::BIGINT AS n_spans,
+       len(list_filter(spans, s -> s.kind = 'text'))::BIGINT AS n_text,
+       len(list_filter(spans, s -> s.kind = 'table'))::BIGINT AS n_table,
+       len(list_filter(spans, s -> s.kind = 'media'))::BIGINT AS n_media,
+       list_sort(list_transform(spans, s -> s.offset))
+         = list_transform(spans, s -> s.offset) AS offsets_sorted,
+       len(list_filter(spans, s ->
+             (s.kind = 'media') <> (s.media_ref <> ''))) = 0
+         AS media_refs_ok,
+       (CASE WHEN len(spans) >= 2 THEN
+          len(list_filter(generate_series(2, len(spans)), i ->
+                spans[i].kind <> spans[i - 1].kind))
+        ELSE 0 END)::BIGINT AS interleave_runs,
+       (CASE WHEN len(spans) >= 2 THEN
+          list_max(list_transform(generate_series(2, len(spans)), i ->
+                spans[i].offset::BIGINT - spans[i - 1].offset))
+        ELSE 0 END)::BIGINT AS max_gap
+FROM read_parquet('{corpus_path(sf)}')
+"""
+
+
+# --------------------------------------------------------------------------
 # token_entropy — Shannon entropy of each doc's token distribution
 # --------------------------------------------------------------------------
 
@@ -2934,6 +3029,10 @@ DATAPIPE_QUERIES = {
     "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
     "shuffle_skew_audit": (q_shuffle_skew_audit, SQL_SHUFFLE_SKEW_AUDIT),
     "token_entropy": (q_token_entropy, SQL_TOKEN_ENTROPY),
+    "span_contract_audit": (
+        q_span_contract_audit,
+        lambda sf: _sql_span_contract_audit(sf),
+    ),
     "vocab_growth": (q_vocab_growth, SQL_VOCAB_GROWTH),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "dup_ngram_fraction": (q_dup_ngram_fraction, SQL_DUP_NGRAM_FRACTION),

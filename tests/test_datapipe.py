@@ -911,3 +911,38 @@ def test_vocab_growth_cumulative_replay(spark):
         assert orow.cum_vocab == len(seen)
         assert orow.ttr == pytest.approx(len(seen) / cum_t, abs=1e-6)
     assert (out["cum_vocab"].diff().dropna() >= 0).all()
+
+
+def test_span_contract_audit_planted_violations(spark):
+    """Planted span frames exercise every False branch the clean driver
+    corpus never hits: unsorted offsets, a media span without media_ref,
+    a text span WITH one, a single-span doc (Spark's sequence(2,1)
+    descends — the guard must keep it empty-safe), and a hand-counted
+    interleave pattern."""
+    rows = [
+        # doc 1: clean interleave t-m-t-t-m -> 3 runs, gaps 10,10,5,15
+        (1, [("text", "a", "", 0), ("media", "m", "media://1", 10),
+             ("text", "b", "", 20), ("text", "c", "", 25),
+             ("media", "m2", "media://2", 40)]),
+        # doc 2: unsorted offsets (30 then 10), still 1 interleave run
+        (2, [("text", "a", "", 30), ("media", "m", "media://3", 10)]),
+        # doc 3: media span with EMPTY media_ref + text span WITH one
+        (3, [("media", "m", "", 0), ("text", "a", "media://x", 5)]),
+        # doc 4: single span — guard path
+        (4, [("text", "only", "", 7)]),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    out = dp._span_audit_frame(df).toPandas().set_index("doc_id")
+    assert out.loc[1, "n_spans"] == 5 and out.loc[1, "n_media"] == 2
+    assert out.loc[1, "interleave_runs"] == 3  # t->m, m->t, t->t(no), t->m
+    assert out.loc[1, "max_gap"] == 15
+    assert bool(out.loc[1, "offsets_sorted"]) and bool(out.loc[1, "media_refs_ok"])
+    assert not bool(out.loc[2, "offsets_sorted"])
+    assert out.loc[2, "max_gap"] == -20
+    assert not bool(out.loc[3, "media_refs_ok"])
+    assert out.loc[4, "n_spans"] == 1
+    assert out.loc[4, "interleave_runs"] == 0 and out.loc[4, "max_gap"] == 0
