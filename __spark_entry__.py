@@ -56,6 +56,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries into the tail (31 total), every one re-verified in
 # CORRECTNESS_SUPPLEMENT_r03.json.
 _OVERFLOW_TAIL = [
+    # displaced for revenue_pareto: pivot_revenue_years is round-3,
+    # supplement-verified, with a dedicated pivot-shape pytest.
+    "pivot_revenue_years",
     # displaced for data_quality_checks: domain_cap is round-3,
     # supplement-verified, with its hierarchical-window plan pin.
     "domain_cap",

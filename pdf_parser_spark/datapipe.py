@@ -1803,7 +1803,7 @@ N_SHARDS = 16
 
 
 def _global_prefix(
-    spark, d: DataFrame, weight: str, order_col: str = "doc_id"
+    spark, d: DataFrame, weight: str, order_col="doc_id"
 ) -> DataFrame:
     """Corpus-wide exclusive prefix sum of ``weight`` in ``order_col`` order,
     as the two-phase range-partition device (``pack_sequences``/
@@ -1815,14 +1815,15 @@ def _global_prefix(
     broadcasts. Returns the input columns plus ``_pre`` (exclusive
     prefix, BIGINT) and ``_grand`` (corpus total)."""
     parts = max(2, spark.sparkContext.defaultParallelism)
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     d = (
-        d.repartitionByRange(parts, order_col)
+        d.repartitionByRange(parts, *order_cols)
         .withColumn("_chunk", F.spark_partition_id())
         .localCheckpoint(eager=False)
     )
     w_local = (
         Window.partitionBy("_chunk")
-        .orderBy(order_col)
+        .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     local = d.withColumn(

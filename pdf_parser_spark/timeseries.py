@@ -1205,6 +1205,91 @@ def q_score_auc(spark, sf_dir):
     )
 
 
+PARETO_CUT = 0.8  # concentration threshold for the in_top80 flag
+
+
+def q_revenue_pareto(spark, sf_dir):
+    """Revenue concentration (Pareto/ABC) curve over parts: each part's
+    cumulative revenue share when parts are ranked by revenue — the
+    80/20 audit behind assortment and skew decisions, and the ranking
+    shape ntile()/cume_dist() would single-task: instead the descending
+    revenue order runs through the ``_global_prefix`` two-phase device
+    (range-partition by (-revenue, partkey), local cumsums, broadcast
+    chunk offsets), so no task ever holds more than ~n_parts/partitions
+    rows. Revenue accumulates as integer ten-thousandths (the rollup
+    discipline) and only the final share rounds; ``in_top80`` marks the
+    minimal prefix of parts that reaches the cut (strict-before
+    comparison, so the part that crosses the line is included)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.round(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+            * 10000
+        )
+        .cast("long")
+        .alias("rev_e4"),
+    )
+    parts = li.groupBy("l_partkey").agg(F.sum("rev_e4").alias("rev_e4"))
+    from .datapipe import _global_prefix
+
+    ranked = (
+        _global_prefix(
+            spark,
+            parts.withColumn("neg_rev", -F.col("rev_e4")).withColumn(
+                "one", F.lit(1).cast("long")
+            ),
+            "rev_e4",
+            order_col=["neg_rev", "l_partkey"],
+        )
+        .withColumnRenamed("_pre", "rev_before")
+        .withColumnRenamed("_grand", "rev_grand")  # the count pass below
+        .drop("_chunk")  # emits its own _grand/_chunk; keep revenue's
+    )
+    ranked = _global_prefix(
+        spark, ranked, "one", order_col=["neg_rev", "l_partkey"]
+    )
+    return ranked.select(
+        "l_partkey",
+        (F.col("_pre") + 1).cast("long").alias("rank"),
+        # exact integer ten-thousandths: round(rev_e4/1e4, 2) lands on
+        # .xx5 boundary doubles that the two engines round apart
+        F.col("rev_e4").cast("long").alias("revenue_e4"),
+        F.round(
+            (F.col("rev_before") + F.col("rev_e4"))
+            / F.col("rev_grand").cast("double"),
+            6,
+        ).alias("cum_share"),
+        (
+            F.col("rev_before")
+            < F.lit(PARETO_CUT) * F.col("rev_grand").cast("double")
+        ).alias("in_top80"),
+    )
+
+
+SQL_REVENUE_PARETO = f"""
+WITH p AS (
+  SELECT l_partkey,
+         SUM(round(round(l_extendedprice * (1 - l_discount), 4)
+                   * 10000)::BIGINT) AS rev_e4
+  FROM lineitem GROUP BY l_partkey
+), r AS (
+  SELECT l_partkey, rev_e4,
+         COALESCE(SUM(rev_e4) OVER (
+             ORDER BY rev_e4 DESC, l_partkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS rev_before,
+         row_number() OVER (ORDER BY rev_e4 DESC, l_partkey) AS rank,
+         SUM(rev_e4) OVER () AS grand
+  FROM p
+)
+SELECT l_partkey, rank::BIGINT AS rank,
+       rev_e4::BIGINT AS revenue_e4,
+       round((rev_before + rev_e4) / grand::DOUBLE, 6) AS cum_share,
+       rev_before < {PARETO_CUT} * grand::DOUBLE AS in_top80
+FROM r
+"""
+
+
 ATTR_WINDOW_US = 7 * 86400 * 1_000_000  # 7-day attribution lookback
 
 
@@ -1565,6 +1650,7 @@ TIMESERIES_QUERIES: dict[str, tuple] = {
     "attribution_linear": (q_attribution_linear, SQL_ATTRIBUTION_LINEAR),
     "ab_test_purchase": (q_ab_test_purchase, SQL_AB_TEST_PURCHASE),
     "copurchase_pairs": (q_copurchase_pairs, SQL_COPURCHASE_PAIRS),
+    "revenue_pareto": (q_revenue_pareto, SQL_REVENUE_PARETO),
     "bitmap_distinct_window": (
         q_bitmap_distinct_window,
         SQL_BITMAP_DISTINCT_WINDOW,

@@ -633,3 +633,30 @@ def test_copurchase_pairs_basket_replay(spark):
     got = [((r.pa, r.pb), r.n_orders) for r in out.itertuples(index=False)]
     assert got == want
     assert len(got) == COPURCHASE_TOP_K
+
+
+def test_revenue_pareto_curve_replay(spark):
+    """Pandas replay of the concentration curve: ranks are dense over
+    revenue-desc order, cum_share is non-decreasing and ends at 1.0,
+    in_top80 is exactly the minimal prefix reaching the cut (the
+    crossing part included), and both flag values occur."""
+    out = (
+        ts.q_revenue_pareto(spark, SF_DIR).toPandas().sort_values("rank")
+    )
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    rev = (
+        (li["l_extendedprice"] * (1 - li["l_discount"])).round(4) * 10000
+    ).round().astype("int64")
+    per_part = rev.groupby(li["l_partkey"]).sum().sort_index()
+    want = per_part.sort_values(ascending=False, kind="stable")
+    # pandas stable sort on descending value ties by index order = partkey
+    assert list(out["l_partkey"]) == list(want.index)
+    assert list(out["revenue_e4"]) == list(want.values)
+    assert list(out["rank"]) == list(range(1, len(want) + 1))
+    assert out["cum_share"].is_monotonic_increasing
+    assert out["cum_share"].iloc[-1] == pytest.approx(1.0, abs=1e-6)
+    grand = want.sum()
+    cum_before = want.cumsum().shift(fill_value=0)
+    want_flag = cum_before < 0.8 * grand
+    assert list(out["in_top80"]) == list(want_flag.values)
+    assert out["in_top80"].any() and not out["in_top80"].all()
