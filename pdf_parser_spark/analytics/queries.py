@@ -2346,6 +2346,152 @@ GROUP BY c_mktsegment
 """
 
 
+def q_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape — the ROLE-PLAYING dimension join: bilateral
+    cross-border trade volume by (supplier nation, customer nation,
+    ship year). The nation dim participates twice under different
+    roles; each role is pre-joined onto its side's dim (supplier /
+    customer) and both slim maps broadcast, so the only shuffle is the
+    unavoidable fact-fact lineitem⋈orders equi-join on orderkey (AQE
+    handles its sizing; at 100 TB this is the canonical co-partition
+    candidate for bucketing both facts on orderkey). Domestic pairs
+    are filtered out after both roles attach, mirroring Q7's
+    supp ≠ cust predicate. Revenue stays integer ten-thousandths."""
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey")
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .select("o_orderkey", "cust_nation")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        F.year("l_shipdate").alias("l_year"),
+        F.round(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+            * 10000
+        )
+        .cast("long")
+        .alias("rev_e4"),
+    )
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(
+            F.sum("rev_e4").alias("revenue_e4"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+SQL_VOLUME_SHIPPING = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       EXTRACT(year FROM l_shipdate)::INT AS l_year,
+       SUM(round(round(l_extendedprice * (1 - l_discount), 4)
+                 * 10000)::BIGINT) AS revenue_e4,
+       count(*)::BIGINT AS n_lines
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON n1.n_nationkey = s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c_nationkey
+WHERE n1.n_name <> n2.n_name
+GROUP BY 1, 2, 3
+"""
+
+
+RETURNED_TOP_K = 20
+
+
+def q_returned_top_customers(spark, sf_dir):
+    """TPC-H Q10 shape — AGGREGATE-BEFORE-JOIN + global top-k: the
+    customers losing the most revenue to returns. Returned lineitems
+    collapse to (orderkey, revenue) FIRST (map-side-combining hash
+    aggregate), so the fact-fact join onto orders moves one slim row
+    per returned order instead of every returned line; a second
+    aggregate lands on customer grain, and the global top-20 is
+    TakeOrderedAndProject (per-partition heaps + driver merge of 20-row
+    heads — never a full sort). Only then do the customer and nation
+    dims broadcast-attach names, on 20 rows. Ties break by custkey so
+    the cut is deterministic."""
+    ret = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_returnflag") == "R")
+        .select(
+            "l_orderkey",
+            F.round(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+                )
+                * 10000
+            )
+            .cast("long")
+            .alias("rev_e4"),
+        )
+        .groupBy("l_orderkey")
+        .agg(F.sum("rev_e4").alias("rev_e4"))
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    top = (
+        orders.join(ret, orders.o_orderkey == ret.l_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum("rev_e4").alias("revenue_e4"))
+        .orderBy(F.desc("revenue_e4"), F.asc("o_custkey"))
+        .limit(RETURNED_TOP_K)
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        top.join(F.broadcast(cust), top.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select(
+            F.col("c_custkey").cast("long").alias("c_custkey"),
+            "c_name",
+            "n_name",
+            "revenue_e4",
+            "c_acctbal",
+        )
+    )
+
+
+SQL_RETURNED_TOP_CUSTOMERS = f"""
+WITH per_order AS (
+  SELECT l_orderkey,
+         SUM(round(round(l_extendedprice * (1 - l_discount), 4)
+                   * 10000)::BIGINT) AS rev_e4
+  FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_orderkey
+), per_cust AS (
+  SELECT o_custkey, SUM(rev_e4) AS revenue_e4
+  FROM orders JOIN per_order ON o_orderkey = l_orderkey
+  GROUP BY o_custkey
+  ORDER BY revenue_e4 DESC, o_custkey ASC
+  LIMIT {RETURNED_TOP_K}
+)
+SELECT c_custkey::BIGINT AS c_custkey, c_name, n_name, revenue_e4, c_acctbal
+FROM per_cust
+JOIN customer ON c_custkey = o_custkey
+JOIN nation ON n_nationkey = c_nationkey
+"""
+
+
 ANALYTIC_QUERIES: dict[str, tuple] = {
     "regex_token_extract": (q_regex_token_extract, SQL_REGEX_TOKEN_EXTRACT),
     "exact_dedup_md5": (q_exact_dedup_md5, SQL_EXACT_DEDUP_MD5),
@@ -2395,6 +2541,11 @@ ANALYTIC_QUERIES: dict[str, tuple] = {
     "priority_return_rate": (q_priority_return_rate, SQL_PRIORITY_RETURN_RATE),
     "large_volume_orders": (q_large_volume_orders, SQL_LARGE_VOLUME_ORDERS),
     "dormant_customers": (q_dormant_customers, SQL_DORMANT_CUSTOMERS),
+    "volume_shipping": (q_volume_shipping, SQL_VOLUME_SHIPPING),
+    "returned_top_customers": (
+        q_returned_top_customers,
+        SQL_RETURNED_TOP_CUSTOMERS,
+    ),
     "salted_join": (q_salted_join, SQL_SALTED_JOIN),
     "session_window_builtin": (
         q_session_window_builtin,

@@ -1290,6 +1290,167 @@ FROM r
 """
 
 
+def q_cusum_changepoint(spark, sf_dir):
+    """CUSUM change-point scan per event type: the one-sided cumulative-
+    sum statistic S_i = max(0, S_{i-1} + (x_i - mean)) over the daily
+    count series, whose peak marks the most sustained upward departure
+    from the series mean — the standard drift/level-shift detector a
+    pipeline health monitor runs per metric. The recurrence's max-clamp
+    makes it inherently sequential (no window frame expresses it), so it
+    runs as an IN-ROW FOLD: each type's day series collects into one
+    sorted array (bounded at days-per-type, ~365/yr — a metrology grain,
+    never corpus-scale) and ``F.aggregate`` folds it JVM-side. All
+    arithmetic is integer, scaled by n_days so the mean never becomes a
+    double: S'_i = max(0, S_{i-1} + cnt_i * n - total) = n * CUSUM_i.
+    ``peak_day`` is the day the global max is FIRST attained (the fold
+    updates on strictly-greater, matching MIN(day) over argmax rows in
+    the recursive-CTE oracle)."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    per_type = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("day", "cnt"))).alias("seq")
+    )
+    per_type = per_type.select(
+        "event_type",
+        "seq",
+        F.size("seq").cast("long").alias("n_days"),
+        F.aggregate(
+            "seq", F.lit(0).cast("long"), lambda acc, x: acc + x["cnt"]
+        ).alias("total_events"),
+    )
+    n, tot = F.col("n_days"), F.col("total_events")
+
+    def step(acc, x):
+        s_new = F.greatest(
+            F.lit(0).cast("long"), acc["s"] + x["cnt"] * n - tot
+        )
+        hit = s_new > acc["smax"]
+        return F.struct(
+            s_new.alias("s"),
+            F.when(hit, s_new).otherwise(acc["smax"]).alias("smax"),
+            F.when(hit, x["day"]).otherwise(acc["dmax"]).alias("dmax"),
+        )
+
+    folded = per_type.withColumn(
+        "res",
+        F.aggregate(
+            "seq",
+            F.struct(
+                F.lit(0).cast("long").alias("s"),
+                F.lit(-1).cast("long").alias("smax"),
+                F.lit(None).cast("date").alias("dmax"),
+            ),
+            step,
+        ),
+    )
+    return folded.select(
+        "event_type",
+        "n_days",
+        "total_events",
+        F.col("res.smax").alias("cusum_max"),
+        F.date_format("res.dmax", "yyyy-MM-dd").alias("peak_day"),
+    )
+
+
+SQL_CUSUM_CHANGEPOINT = """
+WITH RECURSIVE d AS (
+  SELECT event_type, date_trunc('day', ts) AS day, count(*)::BIGINT AS cnt
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT event_type, count(*)::BIGINT AS n, SUM(cnt)::BIGINT AS tot
+  FROM d GROUP BY 1
+), r AS (
+  SELECT d.event_type,
+         row_number() OVER (PARTITION BY d.event_type ORDER BY d.day) AS rn,
+         d.day, d.cnt, s.n, s.tot
+  FROM d JOIN s USING (event_type)
+), cu AS (
+  SELECT event_type, rn, day,
+         GREATEST(0, cnt * n - tot)::BIGINT AS sv
+  FROM r WHERE rn = 1
+  UNION ALL
+  SELECT r.event_type, r.rn, r.day,
+         GREATEST(0, cu.sv + r.cnt * r.n - r.tot)::BIGINT
+  FROM cu JOIN r ON r.event_type = cu.event_type AND r.rn = cu.rn + 1
+), mx AS (
+  SELECT event_type, MAX(sv) AS cusum_max FROM cu GROUP BY 1
+)
+SELECT s.event_type, s.n AS n_days, s.tot AS total_events, mx.cusum_max,
+       strftime(MIN(cu.day) FILTER (WHERE cu.sv = mx.cusum_max),
+                '%Y-%m-%d') AS peak_day
+FROM s JOIN mx USING (event_type) JOIN cu USING (event_type)
+GROUP BY 1, 2, 3, 4
+"""
+
+
+def q_seasonality_grid(spark, sf_dir):
+    """Day-of-week x hour seasonality grid with an independence lift:
+    observed event count per (dow, hour) cell against the count expected
+    if weekday and hour were independent (row_total * col_total / grand
+    — the chi-square contingency expectation), lift = observed/expected.
+    One corpus aggregate lands on the 7x24 cell grain; the marginals and
+    grand total are windows OVER THE 168-ROW CELL FRAME (the
+    unpartitioned window is bounded at 168 rows by construction — a
+    calendar grain, never data-scale — so the single-task stage is
+    constant work). Expected/lift are built from the identical
+    double-expression tree on both engines (integer marginal products
+    would overflow int64 at 100 TB counts, so the division happens
+    first)."""
+    cells = (
+        _t(spark, sf_dir, "events")
+        .select(
+            (F.dayofweek("ts") - 1).alias("dow"),
+            F.hour("ts").alias("hr"),
+        )
+        .groupBy("dow", "hr")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w_row = Window.partitionBy("dow")
+    w_col = Window.partitionBy("hr")
+    w_all = Window.partitionBy()
+    g = (
+        cells.withColumn("row_tot", F.sum("n_events").over(w_row))
+        .withColumn("col_tot", F.sum("n_events").over(w_col))
+        .withColumn("grand", F.sum("n_events").over(w_all))
+    )
+    return g.select(
+        "dow",
+        "hr",
+        "n_events",
+        F.round(
+            F.col("row_tot") * (F.col("col_tot") / F.col("grand")), 4
+        ).alias("expected"),
+        F.round(
+            (F.col("n_events") / F.col("row_tot"))
+            * (F.col("grand") / F.col("col_tot")),
+            6,
+        ).alias("lift"),
+    )
+
+
+SQL_SEASONALITY_GRID = """
+WITH cells AS (
+  SELECT dayofweek(ts)::INT AS dow, EXTRACT(hour FROM ts)::INT AS hr,
+         count(*)::BIGINT AS n_events
+  FROM events GROUP BY 1, 2
+), g AS (
+  SELECT dow, hr, n_events,
+         SUM(n_events) OVER (PARTITION BY dow) AS row_tot,
+         SUM(n_events) OVER (PARTITION BY hr) AS col_tot,
+         SUM(n_events) OVER () AS grand
+  FROM cells
+)
+SELECT dow, hr, n_events,
+       round(row_tot * (col_tot::DOUBLE / grand), 4) AS expected,
+       round((n_events::DOUBLE / row_tot) * (grand::DOUBLE / col_tot), 6)
+         AS lift
+FROM g
+"""
+
+
 ATTR_WINDOW_US = 7 * 86400 * 1_000_000  # 7-day attribution lookback
 
 
@@ -1651,6 +1812,8 @@ TIMESERIES_QUERIES: dict[str, tuple] = {
     "ab_test_purchase": (q_ab_test_purchase, SQL_AB_TEST_PURCHASE),
     "copurchase_pairs": (q_copurchase_pairs, SQL_COPURCHASE_PAIRS),
     "revenue_pareto": (q_revenue_pareto, SQL_REVENUE_PARETO),
+    "cusum_changepoint": (q_cusum_changepoint, SQL_CUSUM_CHANGEPOINT),
+    "seasonality_grid": (q_seasonality_grid, SQL_SEASONALITY_GRID),
     "bitmap_distinct_window": (
         q_bitmap_distinct_window,
         SQL_BITMAP_DISTINCT_WINDOW,

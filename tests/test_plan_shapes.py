@@ -323,3 +323,21 @@ def test_tpch_shapes_semi_broadcast_anti(spark):
     assert "SortMergeJoin" not in p
     p = _plan(q_dormant_customers(spark, SF_DIR))
     assert "LeftAnti" in p and "BroadcastHashJoin" in p
+
+
+def test_volume_shipping_roles_broadcast_takeordered(spark):
+    """Q7/Q10 shapes: every dimension role (supplier-nation,
+    customer-nation, customer) attaches as a BroadcastHashJoin with no
+    cartesian product anywhere; the top-20 is TakeOrderedAndProject
+    (per-partition heaps), never a global Sort+Limit."""
+    from pdf_parser_spark.analytics.queries import (
+        q_returned_top_customers,
+        q_volume_shipping,
+    )
+
+    p = _plan(q_volume_shipping(spark, SF_DIR))
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in p
+    p = _plan(q_returned_top_customers(spark, SF_DIR))
+    assert "TakeOrdered" in p
+    assert "BroadcastHashJoin" in p and "CartesianProduct" not in p

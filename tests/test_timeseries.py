@@ -660,3 +660,148 @@ def test_revenue_pareto_curve_replay(spark):
     want_flag = cum_before < 0.8 * grand
     assert list(out["in_top80"]) == list(want_flag.values)
     assert out["in_top80"].any() and not out["in_top80"].all()
+
+
+def test_cusum_changepoint_fold_replay(spark):
+    """Integer CUSUM recurrence replayed in pandas per event type:
+    S'_i = max(0, S'_{i-1} + cnt_i*n - total) with the peak day being
+    the FIRST strict attainment of the max; the statistic must be
+    non-trivial (some positive excursion) somewhere in the corpus."""
+    out = (
+        ts.q_cusum_changepoint(spark, SF_DIR)
+        .toPandas()
+        .set_index("event_type")
+    )
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    daily = (
+        ev.assign(day=ev["ts"].dt.normalize())
+        .groupby(["event_type", "day"])
+        .size()
+        .rename("cnt")
+        .reset_index()
+        .sort_values(["event_type", "day"])
+    )
+    for etype, g in daily.groupby("event_type"):
+        n, tot = len(g), int(g["cnt"].sum())
+        s, smax, dmax = 0, -1, None
+        for day, cnt in zip(g["day"], g["cnt"]):
+            s = max(0, s + int(cnt) * n - tot)
+            if s > smax:
+                smax, dmax = s, day
+        row = out.loc[etype]
+        assert row["n_days"] == n and row["total_events"] == tot
+        assert row["cusum_max"] == smax
+        assert row["peak_day"] == dmax.strftime("%Y-%m-%d")
+    assert (out["cusum_max"] > 0).any()
+
+
+def test_seasonality_grid_independence_identities(spark):
+    """The grid's marginal identities: per-cell counts sum back to the
+    corpus total; lift * expected reproduces the observed count; lift
+    straddles 1.0 (some cells over-, some under-represented)."""
+    out = ts.q_seasonality_grid(spark, SF_DIR).toPandas()
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    assert out["n_events"].sum() == len(ev)
+    assert out["dow"].between(0, 6).all() and out["hr"].between(0, 23).all()
+    # lift * expected == observed up to the two roundings
+    recon = out["lift"] * out["expected"]
+    assert (recon - out["n_events"]).abs().max() < 0.05
+    assert (out["lift"] > 1).any() and (out["lift"] < 1).any()
+    # spot-check one cell against a direct pandas contingency replay
+    dow = (ev["ts"].dt.dayofweek + 1) % 7  # pandas Mon=0 -> Sun=0 convention
+    hr = ev["ts"].dt.hour
+    cell = ((dow == 1) & (hr == 12)).sum()
+    got = out.set_index(["dow", "hr"]).loc[(1, 12), "n_events"]
+    assert got == cell
+
+
+def test_volume_shipping_bilateral_replay(spark):
+    """Pandas replay of the role-playing join: revenue per (supplier
+    nation, customer nation, ship year) over non-domestic pairs only,
+    integer ten-thousandths exact; domestic pairs are genuinely
+    filtered (they exist in the unfiltered join)."""
+    from pdf_parser_spark.analytics.queries import q_volume_shipping
+
+    out = q_volume_shipping(spark, SF_DIR).toPandas()
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    orders = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    cust = pd.read_parquet(f"{SF_DIR}/customer.parquet")
+    supp = pd.read_parquet(f"{SF_DIR}/supplier.parquet")
+    nation = pd.read_parquet(f"{SF_DIR}/nation.parquet")
+    nmap = nation.set_index("n_nationkey")["n_name"]
+    j = li.merge(
+        orders[["o_orderkey", "o_custkey"]],
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+    ).merge(
+        cust[["c_custkey", "c_nationkey"]],
+        left_on="o_custkey",
+        right_on="c_custkey",
+    ).merge(
+        supp[["s_suppkey", "s_nationkey"]],
+        left_on="l_suppkey",
+        right_on="s_suppkey",
+    )
+    j["supp_nation"] = j["s_nationkey"].map(nmap)
+    j["cust_nation"] = j["c_nationkey"].map(nmap)
+    j["l_year"] = pd.to_datetime(j["l_shipdate"]).dt.year
+    j["rev_e4"] = (
+        ((j["l_extendedprice"] * (1 - j["l_discount"])).round(4) * 10000)
+        .round()
+        .astype("int64")
+    )
+    assert (j["supp_nation"] == j["cust_nation"]).any(), "filter must bind"
+    x = j[j["supp_nation"] != j["cust_nation"]]
+    want = (
+        x.groupby(["supp_nation", "cust_nation", "l_year"])["rev_e4"]
+        .agg(["sum", "size"])
+        .reset_index()
+    )
+    got = out.sort_values(["supp_nation", "cust_nation", "l_year"]).reset_index(
+        drop=True
+    )
+    want = want.sort_values(
+        ["supp_nation", "cust_nation", "l_year"]
+    ).reset_index(drop=True)
+    assert list(got["revenue_e4"]) == list(want["sum"])
+    assert list(got["n_lines"]) == list(want["size"])
+
+
+def test_returned_top_customers_topk_replay(spark):
+    """Pandas replay of the aggregate-before-join top-20: returned-line
+    revenue aggregated to customer grain, descending with custkey
+    tie-break, exactly 20 rows, names correctly attached."""
+    from pdf_parser_spark.analytics.queries import (
+        RETURNED_TOP_K,
+        q_returned_top_customers,
+    )
+
+    out = q_returned_top_customers(spark, SF_DIR).toPandas()
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    orders = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    cust = pd.read_parquet(f"{SF_DIR}/customer.parquet")
+    r = li[li["l_returnflag"] == "R"].copy()
+    r["rev_e4"] = (
+        ((r["l_extendedprice"] * (1 - r["l_discount"])).round(4) * 10000)
+        .round()
+        .astype("int64")
+    )
+    per_cust = (
+        r.merge(
+            orders[["o_orderkey", "o_custkey"]],
+            left_on="l_orderkey",
+            right_on="o_orderkey",
+        )
+        .groupby("o_custkey")["rev_e4"]
+        .sum()
+        .reset_index()
+        .sort_values(["rev_e4", "o_custkey"], ascending=[False, True])
+        .head(RETURNED_TOP_K)
+    )
+    got = out.sort_values(
+        ["revenue_e4", "c_custkey"], ascending=[False, True]
+    ).reset_index(drop=True)
+    assert list(got["c_custkey"]) == list(per_cust["o_custkey"])
+    assert list(got["revenue_e4"]) == list(per_cust["rev_e4"])
+    names = cust.set_index("c_custkey")["c_name"]
+    assert list(got["c_name"]) == [names[k] for k in got["c_custkey"]]
