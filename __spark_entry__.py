@@ -26,6 +26,7 @@ from pdf_parser_spark.bpe import BPE_QUERIES
 from pdf_parser_spark.graph import GRAPH_QUERIES
 from pdf_parser_spark.ir import IR_QUERIES
 from pdf_parser_spark.sketches import SKETCH_QUERIES
+from pdf_parser_spark.selection import SELECTION_QUERIES
 from pdf_parser_spark.snapshot import SNAPSHOT_QUERIES
 from pdf_parser_spark.timeseries import TIMESERIES_QUERIES
 from pdf_parser_spark.urlops import URL_QUERIES
@@ -62,6 +63,11 @@ def entry(spark: SparkSession) -> DataFrame:
 _FRONT = [
     "volume_shipping",
     "returned_top_customers",
+    # Round-3 selection.py suite: newest, not yet driver-verified.
+    "edit_distance_dedup",
+    "skyline_docs",
+    "grouped_ols",
+    "ttl_dedup_events",
 ]
 
 _OVERFLOW_TAIL = [
@@ -230,6 +236,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out[name] = fn
     for name, (fn, _sql) in SNAPSHOT_QUERIES.items():
         out[name] = fn
+    for name, (fn, _sql) in SELECTION_QUERIES.items():
+        out[name] = fn
     for name, (fn, _sql) in TIMESERIES_QUERIES.items():
         out[name] = fn
     for name, (fn, _sql) in IR_QUERIES.items():
@@ -285,5 +293,7 @@ def oracle_sql() -> dict[str, str]:
     for name, (_fn, sql) in GRAPH_QUERIES.items():
         out[name] = sql if isinstance(sql, str) else sql(correctness_sf)
     for name, (_fn, sql) in BPE_QUERIES.items():
+        out[name] = sql if isinstance(sql, str) else sql(correctness_sf)
+    for name, (_fn, sql) in SELECTION_QUERIES.items():
         out[name] = sql if isinstance(sql, str) else sql(correctness_sf)
     return out

@@ -148,6 +148,9 @@ def main() -> None:
     all_queries.update(LM_QUERIES)
     all_queries.update(URL_QUERIES)
     all_queries.update(SNAPSHOT_QUERIES)
+    from pdf_parser_spark.selection import SELECTION_QUERIES
+
+    all_queries.update(SELECTION_QUERIES)
 
     from pdf_parser_spark.sketches import SKETCH_QUERIES
 
