@@ -68,6 +68,9 @@ _FRONT = [
     "skyline_docs",
     "grouped_ols",
     "ttl_dedup_events",
+    "chi2_lang_source",
+    "rrf_fusion",
+    "ewma_smooth",
 ]
 
 _OVERFLOW_TAIL = [

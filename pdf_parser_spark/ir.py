@@ -381,8 +381,130 @@ WHERE j.n_xy >= {PMI_MIN_JOINT}
 """
 
 
+# --------------------------------------------------------------------------
+# Reciprocal-rank fusion of the lexical and semantic rankings
+# --------------------------------------------------------------------------
+
+RRF_K = 60        # standard RRF damping constant (Cormack et al., SIGIR'09)
+RRF_POOL = 50     # per-ranking candidate pool
+RRF_TOP = 20      # fused output size
+
+
+def q_rrf_fusion(spark, sf_dir):
+    """Hybrid retrieval: fuse the BM25 lexical ranking (audit query,
+    q_bm25_search) with the embedding dot-product semantic ranking
+    (query vector vec_id=0 vs corpus vec_id>=3, the embedding_knn
+    device) by reciprocal-rank fusion: rrf = Σ 1/(60 + rank), a doc
+    absent from one pool contributes only the other term.
+
+    Scale shape: each ranking's top-50 comes from orderBy().limit()
+    (TakeOrdered — per-partition heaps + driver merge, never a global
+    sort); the row_number windows and the full-outer fuse run on the
+    50-row pools only. Ranks are over ROUNDED scores with id tiebreaks
+    so both engines agree; the fused score is a sum of exactly two
+    doubles (commutative), rounded after."""
+    bm = q_bm25_search(spark, sf_dir).select("doc_id", "bm25")
+    lex_pool = bm.orderBy(F.desc("bm25"), "doc_id").limit(RRF_POOL)
+    w_lex = Window.orderBy(F.desc("bm25"), "doc_id")  # 50-row frame
+    lex = lex_pool.select(
+        "doc_id", F.row_number().over(w_lex).cast("long").alias("lex_rank")
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where("vec_id = 0").select(
+        F.posexplode("embedding").alias("i", "qv")
+    )
+    c = emb.where("vec_id >= 3").select(
+        F.col("vec_id").alias("cid"), F.posexplode("embedding").alias("ci", "cv")
+    )
+    dots = (
+        c.join(F.broadcast(q), F.col("ci") == F.col("i"))
+        .groupBy("cid")
+        .agg(
+            F.round(
+                F.sum(F.col("cv").cast("double") * F.col("qv").cast("double")), 3
+            ).alias("dot")
+        )
+    )
+    sem_pool = dots.orderBy(F.desc("dot"), "cid").limit(RRF_POOL)
+    w_sem = Window.orderBy(F.desc("dot"), "cid")  # 50-row frame
+    sem = sem_pool.select(
+        F.col("cid").alias("doc_id"),
+        F.row_number().over(w_sem).cast("long").alias("sem_rank"),
+    )
+
+    fused = lex.join(sem, "doc_id", "full_outer").select(
+        "doc_id",
+        "lex_rank",
+        "sem_rank",
+        F.round(
+            F.coalesce(1.0 / (F.lit(RRF_K) + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(RRF_K) + F.col("sem_rank")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.desc("rrf"), "doc_id").limit(RRF_TOP)
+
+
+def _sql_rrf_fusion(sf: str) -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t.token
+  FROM documents, unnest(string_split(text, ' ')) AS t(token)
+  WHERE t.token <> ''
+), dl AS (
+  SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1
+), stats AS (
+  SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl
+), tf AS (
+  SELECT doc_id, token, count(*)::BIGINT AS tf
+  FROM toks WHERE token IN ({terms}) GROUP BY 1, 2
+), idf AS (
+  SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY 1
+), bm AS (
+  SELECT tf.doc_id, round(sum(
+           ln((stats.n_docs - idf.df + 0.5) / (idf.df + 0.5) + 1.0)
+           * (tf.tf * ({BM25_K1} + 1))
+           / (tf.tf + {BM25_K1}
+              * (1 - {BM25_B} + {BM25_B} * dl.dl / stats.avgdl))), 6) AS bm25
+  FROM tf JOIN idf USING (token) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+), lex AS (
+  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id)::BIGINT
+           AS lex_rank
+  FROM bm ORDER BY bm25 DESC, doc_id LIMIT {RRF_POOL}
+), qv AS (
+  SELECT u.i, u.v::DOUBLE AS v
+  FROM embeddings, LATERAL (SELECT unnest(embedding) AS v,
+                                   generate_subscripts(embedding, 1) AS i) u
+  WHERE vec_id = 0
+), cv AS (
+  SELECT vec_id AS cid, u.v::DOUBLE AS v, u.i
+  FROM embeddings, LATERAL (SELECT unnest(embedding) AS v,
+                                   generate_subscripts(embedding, 1) AS i) u
+  WHERE vec_id >= 3
+), dots AS (
+  SELECT cv.cid, round(sum(cv.v * qv.v), 3) AS dot
+  FROM cv JOIN qv ON qv.i = cv.i GROUP BY 1
+), sem AS (
+  SELECT cid AS doc_id, row_number() OVER (ORDER BY dot DESC, cid)::BIGINT
+           AS sem_rank
+  FROM dots ORDER BY dot DESC, cid LIMIT {RRF_POOL}
+), fused AS (
+  SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id, lex_rank, sem_rank,
+         round(coalesce(1.0 / ({RRF_K} + lex_rank), 0)
+               + coalesce(1.0 / ({RRF_K} + sem_rank), 0), 6) AS rrf
+  FROM lex FULL OUTER JOIN sem USING (doc_id)
+)
+SELECT doc_id, lex_rank, sem_rank, rrf
+FROM fused ORDER BY rrf DESC, doc_id LIMIT {RRF_TOP}
+"""
+
+
 IR_QUERIES = {
     "inverted_index": (q_inverted_index, _sql_inverted_index),
+    "rrf_fusion": (q_rrf_fusion, _sql_rrf_fusion),
     "bm25_search": (q_bm25_search, _sql_bm25_search),
     "fuzzy_token_join": (q_fuzzy_token_join, _sql_fuzzy_token_join),
     "top_docs_per_source": (q_top_docs_per_source, _sql_top_docs_per_source),

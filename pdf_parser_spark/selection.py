@@ -347,9 +347,85 @@ FROM w GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# chi2_lang_source
+# ---------------------------------------------------------------------------
+
+
+def q_chi2_lang_source(spark, sf_dir):
+    """Pearson chi-square independence audit of the lang × source
+    contingency (is language mix homogeneous across sources?).
+
+    One hash aggregate reduces the corpus to the |langs|·|sources| cell
+    frame; row totals, column totals and N are aggregates OF that tiny
+    frame joined back broadcast-style, so the corpus is scanned once and
+    everything after the first shuffle is domain-sized. Expected counts
+    E = (row·col)/N and contributions (O−E)²/E are double arithmetic on
+    exactly-equal BIGINTs; the per-lang contribution sum spans at most
+    |sources| values, so cross-engine summation-order noise is ~1e-13
+    relative and dies at the 6-dp rounding."""
+    docs = _t(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    )
+    rows = cells.groupBy("lang").agg(F.sum("o").alias("r"))
+    cols = cells.groupBy("source").agg(F.sum("o").alias("c"))
+    n = cells.agg(F.sum("o").alias("n"))
+    e = (
+        cells.join(F.broadcast(rows), "lang")
+        .join(F.broadcast(cols), "source")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "lang",
+            "o",
+            (
+                (F.col("r") * F.col("c")).cast("double") / F.col("n").cast("double")
+            ).alias("e"),
+        )
+    )
+    contrib = e.select(
+        "lang",
+        "o",
+        (
+            (F.col("o").cast("double") - F.col("e"))
+            * (F.col("o").cast("double") - F.col("e"))
+            / F.col("e")
+        ).alias("x2"),
+    )
+    return contrib.groupBy("lang").agg(
+        F.sum("o").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.round(F.sum("x2"), 6).alias("chi2_contrib"),
+    )
+
+
+SQL_CHI2_LANG_SOURCE = """
+WITH cells AS (
+  SELECT lang, source, count(*)::BIGINT AS o FROM documents GROUP BY 1, 2
+), rows_t AS (
+  SELECT lang, sum(o)::BIGINT AS r FROM cells GROUP BY 1
+), cols_t AS (
+  SELECT source, sum(o)::BIGINT AS c FROM cells GROUP BY 1
+), n_t AS (
+  SELECT sum(o)::BIGINT AS n FROM cells
+), contrib AS (
+  SELECT cells.lang, cells.o,
+         (cells.o::DOUBLE - (r * c)::DOUBLE / n)
+         * (cells.o::DOUBLE - (r * c)::DOUBLE / n)
+         / ((r * c)::DOUBLE / n) AS x2
+  FROM cells JOIN rows_t USING (lang) JOIN cols_t USING (source)
+  CROSS JOIN n_t
+)
+SELECT lang, sum(o)::BIGINT AS n_docs, count(*)::BIGINT AS n_cells,
+       round(sum(x2), 6) AS chi2_contrib
+FROM contrib GROUP BY 1
+"""
+
+
 SELECTION_QUERIES: dict[str, tuple] = {
     "edit_distance_dedup": (q_edit_distance_dedup, SQL_EDIT_DISTANCE_DEDUP),
     "skyline_docs": (q_skyline_docs, SQL_SKYLINE_DOCS),
     "grouped_ols": (q_grouped_ols, SQL_GROUPED_OLS),
     "ttl_dedup_events": (q_ttl_dedup_events, SQL_TTL_DEDUP_EVENTS),
+    "chi2_lang_source": (q_chi2_lang_source, SQL_CHI2_LANG_SOURCE),
 }

@@ -1818,4 +1818,85 @@ TIMESERIES_QUERIES: dict[str, tuple] = {
         q_bitmap_distinct_window,
         SQL_BITMAP_DISTINCT_WINDOW,
     ),
+    "ewma_smooth": (None, None),  # replaced below after definition
 }
+
+
+# ---------------------------------------------------------------------------
+# ewma_smooth — integer-exact truncated EWMA
+# ---------------------------------------------------------------------------
+
+EWMA_HORIZON = 20  # α = 1/2; weights below 2^-19 are dropped (≈ 2e-6)
+
+
+def q_ewma_smooth(spark, sf_dir):
+    """Exponentially-weighted moving average of the daily event count per
+    type, α = 1/2, truncated at a 20-row horizon — WITHOUT floating-point
+    accumulation: the weights 2^-k are scaled to integers 2^(19-k), so
+    numerator and denominator are exact BIGINT window sums (max term
+    c·2^19 ≈ 5e11·days — far under int64) and the single final division
+    of two exactly-equal integers is the only double op, identical on
+    both engines. Early rows renormalize over the weights actually
+    present (the standard adjust=True EWMA), so the series has no warmup
+    bias and no NULL prefix. One exchange on (event_type); the 20 lag()
+    expressions share one window pass."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("day"),
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lags = [F.lag("c", k).over(w) for k in range(EWMA_HORIZON)]
+    num = sum(
+        (
+            F.coalesce(lg * F.lit(1 << (EWMA_HORIZON - 1 - k)).cast("long"), F.lit(0))
+            for k, lg in enumerate(lags)
+        ),
+        F.lit(0).cast("long"),
+    )
+    den = sum(
+        (
+            F.when(lg.isNotNull(), F.lit(1 << (EWMA_HORIZON - 1 - k)).cast("long")).otherwise(
+                F.lit(0)
+            )
+            for k, lg in enumerate(lags)
+        ),
+        F.lit(0).cast("long"),
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        "c",
+        F.round(num.cast("double") / den.cast("double"), 6).alias("ewma"),
+    )
+
+
+def _sql_ewma_smooth(sf: str) -> str:
+    num_terms = " + ".join(
+        f"coalesce(lag(c, {k}) OVER win * {1 << (EWMA_HORIZON - 1 - k)}, 0)"
+        for k in range(EWMA_HORIZON)
+    )
+    den_terms = " + ".join(
+        f"(CASE WHEN lag(c, {k}) OVER win IS NOT NULL"
+        f" THEN {1 << (EWMA_HORIZON - 1 - k)} ELSE 0 END)"
+        for k in range(EWMA_HORIZON)
+    )
+    return f"""
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '1970-01-01', ts::DATE)::BIGINT AS day,
+         count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, day, c,
+       round(({num_terms})::DOUBLE / ({den_terms})::DOUBLE, 6) AS ewma
+FROM daily
+WINDOW win AS (PARTITION BY event_type ORDER BY day)
+"""
+
+
+TIMESERIES_QUERIES["ewma_smooth"] = (q_ewma_smooth, _sql_ewma_smooth)

@@ -8,6 +8,7 @@ from __future__ import annotations
 import math
 
 import duckdb
+import numpy as np
 import pandas as pd
 import pytest
 
@@ -18,9 +19,8 @@ SF_DIR = "/root/testdata/sf0.001"
 
 def _duck(sql: str) -> pd.DataFrame:
     con = duckdb.connect()
-    con.execute(
-        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
-    )
+    for t in ("documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
     return con.execute(sql).fetchdf()
 
 
@@ -189,3 +189,46 @@ def test_token_pmi_matches_pandas(spark):
         assert got[k][:3] == want[k][:3]
         assert got[k][3] == pytest.approx(want[k][3], abs=2e-6)
     assert out["pmi"].nunique() > 1
+
+
+def test_rrf_fusion_matches_pandas(spark):
+    """RRF recomputed from the two pool rankings: fetch the BM25 frame
+    and the dot-product frame, rank in pandas with the same rounded-score
+    + id tiebreaks, fuse with k=60, compare the top-20."""
+    out = ir.q_rrf_fusion(spark, SF_DIR).toPandas()
+    bm = ir.q_bm25_search(spark, SF_DIR).toPandas()
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    qv = np.array(emb.loc[emb.vec_id == 0, "embedding"].iloc[0], dtype=np.float64)
+    corpus = emb[emb.vec_id >= 3]
+    dots = pd.DataFrame(
+        {
+            "doc_id": corpus["vec_id"].to_numpy(),
+            "dot": [
+                round(float(np.dot(np.asarray(v, dtype=np.float64), qv)), 3)
+                for v in corpus["embedding"]
+            ],
+        }
+    )
+    lex = (
+        bm.sort_values(["bm25", "doc_id"], ascending=[False, True])
+        .head(ir.RRF_POOL)
+        .assign(lex_rank=lambda d: range(1, len(d) + 1))[["doc_id", "lex_rank"]]
+    )
+    sem = (
+        dots.sort_values(["dot", "doc_id"], ascending=[False, True])
+        .head(ir.RRF_POOL)
+        .assign(sem_rank=lambda d: range(1, len(d) + 1))[["doc_id", "sem_rank"]]
+    )
+    fused = lex.merge(sem, on="doc_id", how="outer")
+    fused["rrf"] = (
+        (1.0 / (ir.RRF_K + fused["lex_rank"])).fillna(0)
+        + (1.0 / (ir.RRF_K + fused["sem_rank"])).fillna(0)
+    ).round(6)
+    want = fused.sort_values(["rrf", "doc_id"], ascending=[False, True]).head(
+        ir.RRF_TOP
+    )
+    got = out.sort_values(["rrf", "doc_id"], ascending=[False, True])
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    assert np.allclose(got["rrf"].to_numpy(), want["rrf"].to_numpy(), atol=1e-9)
+    # both modalities must actually contribute to the fused top-20
+    assert got["lex_rank"].notna().any() and got["sem_rank"].notna().any()

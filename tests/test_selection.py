@@ -157,3 +157,31 @@ def test_ttl_debounce_replay(spark):
             out.loc[etype, "suppressed"] == total[etype] - kept[etype]
         )
     assert int(out["suppressed"].sum()) > 0
+
+
+def test_chi2_contingency_matches_pandas(spark):
+    """Chi-square contributions recomputed from a pandas crosstab; the
+    total equals the classic Pearson statistic."""
+    out = (
+        sel.q_chi2_lang_source(spark, SF_DIR).toPandas().set_index("lang")
+    )
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    ct = pd.crosstab(docs["lang"], docs["source"])
+    n = ct.values.sum()
+    expected = np.outer(ct.sum(axis=1), ct.sum(axis=0)) / n
+    obs = ct.values.astype(float)
+    mask = obs > 0  # only realized cells enter the grouped output
+    contrib_by_lang = {}
+    for li, lang in enumerate(ct.index):
+        cells = [
+            (obs[li, ci] - expected[li, ci]) ** 2 / expected[li, ci]
+            for ci in range(obs.shape[1])
+            if mask[li, ci]
+        ]
+        contrib_by_lang[lang] = (sum(cells), len(cells), int(obs[li][mask[li]].sum()))
+    assert set(out.index) == set(contrib_by_lang)
+    for lang, (x2, n_cells, n_docs) in contrib_by_lang.items():
+        row = out.loc[lang]
+        assert row["n_cells"] == n_cells
+        assert row["n_docs"] == n_docs
+        assert abs(row["chi2_contrib"] - x2) < 1e-4

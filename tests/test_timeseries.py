@@ -6,6 +6,7 @@ quantile interpolation, gap-aware RANGE frame)."""
 from __future__ import annotations
 
 import duckdb
+import numpy as np
 import pandas as pd
 import pytest
 
@@ -805,3 +806,28 @@ def test_returned_top_customers_topk_replay(spark):
     assert list(got["revenue_e4"]) == list(per_cust["rev_e4"])
     names = cust.set_index("c_custkey")["c_name"]
     assert list(got["c_name"]) == [names[k] for k in got["c_custkey"]]
+
+
+def test_ewma_matches_manual_replay(spark):
+    """Truncated adjust=True EWMA (alpha=1/2, horizon 20) replayed in
+    pandas over each event type's daily series matches the integer-exact
+    Spark output; where the series is shorter than the horizon it also
+    equals pandas' own ewm(alpha=0.5, adjust=True)."""
+    out = ts.q_ewma_smooth(spark, SF_DIR).toPandas()
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    ev["day"] = (ev["ts"].dt.normalize() - pd.Timestamp(0)).dt.days
+    daily = ev.groupby(["event_type", "day"]).size().rename("c").reset_index()
+    H = ts.EWMA_HORIZON
+    for etype, g in daily.groupby("event_type"):
+        g = g.sort_values("day").reset_index(drop=True)
+        sub = out[out.event_type == etype].set_index("day")
+        ref = g.set_index("day")["c"].ewm(alpha=0.5, adjust=True).mean()
+        for t in range(len(g)):
+            lo = max(0, t - H + 1)
+            xs = g["c"].to_numpy()[lo : t + 1][::-1]  # newest first
+            ws = [2.0 ** -k for k in range(len(xs))]
+            want = float(np.dot(xs, ws) / sum(ws))
+            got = sub.loc[g["day"][t], "ewma"]
+            assert abs(got - want) < 1e-5
+            if t < H:  # inside the horizon the truncation is exact
+                assert abs(got - ref.iloc[t]) < 1e-5
