@@ -341,3 +341,42 @@ def test_volume_shipping_roles_broadcast_takeordered(spark):
     p = _plan(q_returned_top_customers(spark, SF_DIR))
     assert "TakeOrdered" in p
     assert "BroadcastHashJoin" in p and "CartesianProduct" not in p
+
+
+def test_selection_suite_plan_shapes(spark):
+    """selection.py 100 TB claims: edit-distance blocking must be an
+    equi-join (never a cartesian); the skyline join-back and OLS part
+    join must broadcast; the OLS frame must partial-aggregate map-side;
+    the TTL window must partition on the (user, type) key, not run
+    unpartitioned."""
+    from pdf_parser_spark.selection import (
+        q_chi2_lang_source,
+        q_edit_distance_dedup,
+        q_grouped_ols,
+        q_skyline_docs,
+        q_ttl_dedup_events,
+    )
+
+    p = _plan(q_edit_distance_dedup(spark, SF_DIR))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    p = _plan(q_skyline_docs(spark, SF_DIR))
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+    p = _plan(q_grouped_ols(spark, SF_DIR))
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+    assert "partial_sum" in p  # sufficient statistics combine map-side
+    p = _plan(q_ttl_dedup_events(spark, SF_DIR))
+    assert "user_id" in p.split("Window")[1].split("\n")[0]  # keyed window
+    p = _plan(q_chi2_lang_source(spark, SF_DIR))
+    assert "CartesianProduct" not in p  # the N scalar ships as broadcast
+    assert "partial_count" in p or "partial_sum" in p
+
+
+def test_rrf_fusion_pools_are_take_ordered(spark):
+    """Both RRF pools must come from TakeOrderedAndProject (per-partition
+    heaps + driver merge), never a global Sort over the corpus-sized
+    frame, and the fuse itself stays joins over the 50-row pools."""
+    from pdf_parser_spark.ir import q_rrf_fusion
+
+    p = _plan(q_rrf_fusion(spark, SF_DIR))
+    assert p.count("TakeOrderedAndProject") >= 3  # two pools + final top-20
+    assert "CartesianProduct" not in p
