@@ -71,6 +71,8 @@ _FRONT = [
     "chi2_lang_source",
     "rrf_fusion",
     "ewma_smooth",
+    "benford_audit",
+    "winsorized_stats",
 ]
 
 _OVERFLOW_TAIL = [

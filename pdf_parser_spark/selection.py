@@ -422,10 +422,151 @@ FROM contrib GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# benford_audit
+# ---------------------------------------------------------------------------
+
+
+def q_benford_audit(spark, sf_dir):
+    """Benford's-law first-significant-digit audit of extended prices —
+    the classic forensic data-quality test for fabricated or truncated
+    numeric columns. One scan + one 9-group aggregate; expected counts
+    n·log10(1+1/d) and chi-square contributions are double arithmetic
+    whose engine ulp differences die at the rounding (analysis in
+    selection.py docstrings). Output is the 9-row digit table — a
+    domain-sized frame regardless of corpus size."""
+    li = _t(spark, sf_dir, "lineitem")
+    digits = li.select(
+        F.substring(
+            F.round(F.col("l_extendedprice") * 100).cast("long").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("o"))
+    n = counts.agg(F.sum("o").alias("n"))
+    return (
+        counts.crossJoin(F.broadcast(n))
+        .select(
+            "digit",
+            "o",
+            F.round(
+                F.col("n").cast("double") * F.log10(1.0 + 1.0 / F.col("digit")), 4
+            ).alias("expected"),
+            F.round(
+                F.pow(
+                    F.col("o").cast("double")
+                    - F.col("n").cast("double") * F.log10(1.0 + 1.0 / F.col("digit")),
+                    2,
+                )
+                / (F.col("n").cast("double") * F.log10(1.0 + 1.0 / F.col("digit"))),
+                6,
+            ).alias("chi2_contrib"),
+        )
+    )
+
+
+SQL_BENFORD_AUDIT = """
+WITH digits AS (
+  SELECT substr(round(l_extendedprice * 100)::BIGINT::VARCHAR, 1, 1)::BIGINT
+           AS digit
+  FROM lineitem
+), counts AS (
+  SELECT digit, count(*)::BIGINT AS o FROM digits GROUP BY 1
+), n_t AS (SELECT sum(o)::BIGINT AS n FROM counts)
+SELECT digit, o,
+       round(n::DOUBLE * log10(1.0 + 1.0 / digit), 4) AS expected,
+       round(pow(o::DOUBLE - n::DOUBLE * log10(1.0 + 1.0 / digit), 2)
+             / (n::DOUBLE * log10(1.0 + 1.0 / digit)), 6) AS chi2_contrib
+FROM counts CROSS JOIN n_t
+"""
+
+
+# ---------------------------------------------------------------------------
+# winsorized_stats
+# ---------------------------------------------------------------------------
+
+
+def q_winsorized_stats(spark, sf_dir):
+    """Robust per-source length statistics: clamp document lengths at the
+    exact per-source [p05, p95] (the interpolating ``percentile``
+    aggregate — the same cross-engine-proven device as
+    group_median_exact) and report the winsorized mean/std. Two passes
+    over the grouped key (thresholds, then clamped moments) sharing one
+    shuffle key; the threshold frame is |sources| rows and broadcasts
+    back onto the scan. The 100 TB swap-in is approx_percentile for the
+    threshold pass — exact is used because the oracle hash-compares."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", F.col("n_chars").cast("double").alias("x")
+    )
+    thr = docs.groupBy("source").agg(
+        F.expr("percentile(x, array(0.05D, 0.95D))").alias("qs"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    thr = thr.select(
+        "source",
+        "n_docs",
+        thr.qs[0].alias("p05"),
+        thr.qs[1].alias("p95"),
+    )
+    clamped = docs.join(F.broadcast(thr), "source").select(
+        "source",
+        F.greatest(F.col("p05"), F.least(F.col("p95"), F.col("x"))).alias("w"),
+    )
+    mom = clamped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("w").alias("s"),
+        F.sum(F.col("w") * F.col("w")).alias("q"),
+    )
+    var = (
+        F.col("n").cast("double") * F.col("q") - F.col("s") * F.col("s")
+    ) / (
+        F.col("n").cast("double") * (F.col("n").cast("double") - 1.0)
+    )
+    out = mom.join(
+        thr.select("source", "p05", "p95"), "source"
+    ).select(
+        "source",
+        F.col("n").cast("long").alias("n_docs"),
+        F.round("p05", 4).alias("p05"),
+        F.round("p95", 4).alias("p95"),
+        F.round(F.col("s") / F.col("n").cast("double"), 4).alias("win_mean"),
+        F.round(var, 4).alias("win_var"),
+    )
+    return out
+
+
+SQL_WINSORIZED_STATS = """
+WITH docs AS (
+  SELECT source, n_chars::DOUBLE AS x FROM documents
+), thr AS (
+  SELECT source,
+         quantile_cont(x, 0.05) AS p05,
+         quantile_cont(x, 0.95) AS p95,
+         count(*)::BIGINT AS n_docs
+  FROM docs GROUP BY 1
+), clamped AS (
+  SELECT docs.source, greatest(thr.p05, least(thr.p95, docs.x)) AS w
+  FROM docs JOIN thr USING (source)
+), mom AS (
+  SELECT source, count(*)::BIGINT AS n, sum(w) AS s, sum(w * w) AS q
+  FROM clamped GROUP BY 1
+)
+SELECT mom.source, mom.n AS n_docs,
+       round(thr.p05, 4) AS p05, round(thr.p95, 4) AS p95,
+       round(mom.s / mom.n, 4) AS win_mean,
+       round((mom.n * mom.q - mom.s * mom.s) / (mom.n * (mom.n - 1.0)), 4)
+         AS win_var
+FROM mom JOIN thr USING (source)
+"""
+
+
 SELECTION_QUERIES: dict[str, tuple] = {
     "edit_distance_dedup": (q_edit_distance_dedup, SQL_EDIT_DISTANCE_DEDUP),
     "skyline_docs": (q_skyline_docs, SQL_SKYLINE_DOCS),
     "grouped_ols": (q_grouped_ols, SQL_GROUPED_OLS),
     "ttl_dedup_events": (q_ttl_dedup_events, SQL_TTL_DEDUP_EVENTS),
     "chi2_lang_source": (q_chi2_lang_source, SQL_CHI2_LANG_SOURCE),
+    "benford_audit": (q_benford_audit, SQL_BENFORD_AUDIT),
+    "winsorized_stats": (q_winsorized_stats, SQL_WINSORIZED_STATS),
 }

@@ -185,3 +185,41 @@ def test_chi2_contingency_matches_pandas(spark):
         assert row["n_cells"] == n_cells
         assert row["n_docs"] == n_docs
         assert abs(row["chi2_contrib"] - x2) < 1e-4
+
+
+def test_benford_matches_manual(spark):
+    """First-digit counts recomputed in pandas; expected counts follow
+    log10(1+1/d) and the chi2 contributions match the definition."""
+    out = sel.q_benford_audit(spark, SF_DIR).toPandas().set_index("digit")
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    cents = np.round(li["l_extendedprice"].to_numpy() * 100).astype("int64")
+    first = np.array([int(str(c)[0]) for c in cents])
+    n = len(first)
+    assert sorted(out.index) == sorted(set(first))
+    for d in sorted(set(first)):
+        o = int((first == d).sum())
+        e = n * np.log10(1 + 1 / d)
+        row = out.loc[d]
+        assert row["o"] == o
+        assert abs(row["expected"] - e) < 1e-3
+        assert abs(row["chi2_contrib"] - (o - e) ** 2 / e) < 1e-4
+
+
+def test_winsorized_stats_matches_pandas(spark):
+    """Per-source [p05, p95] clamped mean/variance recomputed with numpy
+    (linear-interpolation quantiles, ddof=1 variance); winsorizing must
+    actually clamp at least one value somewhere."""
+    out = sel.q_winsorized_stats(spark, SF_DIR).toPandas().set_index("source")
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    any_clamped = False
+    for src, g in docs.groupby("source"):
+        x = g["n_chars"].to_numpy(dtype=float)
+        p05, p95 = np.quantile(x, [0.05, 0.95])  # linear interpolation
+        w = np.clip(x, p05, p95)
+        any_clamped = any_clamped or (w != x).any()
+        row = out.loc[src]
+        assert row["n_docs"] == len(x)
+        assert abs(row["p05"] - p05) < 1e-3 and abs(row["p95"] - p95) < 1e-3
+        assert abs(row["win_mean"] - w.mean()) < 1e-3
+        assert abs(row["win_var"] - w.var(ddof=1)) < 1e-2
+    assert any_clamped
