@@ -103,10 +103,29 @@ def main() -> None:
         except Exception:
             return {"ceiling": None}
 
-    smalls, larges, ceilings = [], [], []
+    def bandwidth() -> dict:
+        """Host memory-bandwidth scaling at N vs 4N concurrent writers
+        (scripts/host_bandwidth.py). The CPU ceiling probe is cache-
+        resident and blind to bandwidth throttling, but the pipeline is
+        bandwidth-hungry: in a phase where 16 writers aggregate LESS
+        bandwidth than 4 (bw_efficiency << 1), no bandwidth-bound job
+        can show 4x, and the pair must be discarded as host noise."""
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "scripts", "host_bandwidth.py"),
+             str(args.n), str(args.n * 4)],
+            capture_output=True, text=True,
+        )
+        try:
+            return json.loads(out.stdout.strip().splitlines()[-1])
+        except Exception:
+            return {"bw_efficiency": None}
+
+    smalls, larges, ceilings, bandwidths = [], [], [], []
     for i in range(args.pairs):
         c = ceiling()
         ceilings.append(c)
+        bw = bandwidth()
+        bandwidths.append(bw)
         s = run_level(args.n, args.sf, runs=1)
         l = run_level(args.n * 4, args.sf, runs=1)
         smalls.append(s)
@@ -117,6 +136,8 @@ def main() -> None:
                     "pair": i + 1,
                     "host_ceiling": c.get("ceiling"),
                     "host_per_proc_s": c.get("per_proc_s"),
+                    "host_bw_efficiency": bw.get("bw_efficiency"),
+                    "host_bw_agg_GBps": bw.get("agg_GBps"),
                     "small_docs_per_sec": s["docs_per_sec"],
                     "large_docs_per_sec": l["docs_per_sec"],
                     "pair_efficiency": round(
@@ -153,6 +174,7 @@ def main() -> None:
         "pair_efficiencies": pair_effs,
         "median_pair_efficiency": sorted(pair_effs)[len(pair_effs) // 2],
         "host_ceilings": [c.get("ceiling") for c in ceilings],
+        "host_bw_efficiencies": [b.get("bw_efficiency") for b in bandwidths],
         "small_docs_per_sec_all": [r["docs_per_sec"] for r in smalls],
         "large_docs_per_sec_all": [r["docs_per_sec"] for r in larges],
         "pass": eff >= 0.8,
@@ -180,7 +202,11 @@ Per-pair efficiencies: {pair_effs}
 (small docs/s per pair: {[r["docs_per_sec"] for r in smalls]};
 large: {[r["docs_per_sec"] for r in larges]};
 host pure-CPU {args.n}→{args.n * 4} ceiling adjacent to each pair:
-{[c.get("ceiling") for c in ceilings]} — 1.0 = flat hardware).
+{[c.get("ceiling") for c in ceilings]} — 1.0 = flat hardware;
+host memory-BANDWIDTH {args.n}→{args.n * 4}-writer efficiency adjacent to
+each pair: {[b.get("bw_efficiency") for b in bandwidths]} — 1.0 = bandwidth
+scales with cores, << 1 = the host itself cannot feed the large level and
+the pair measures the host, not the code).
 
 The in-sandbox stand-in for the north rule's two-cluster-size criterion:
 each level runs separate executor *processes* (local-cluster), the honest
