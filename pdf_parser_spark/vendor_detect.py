@@ -211,6 +211,29 @@ def _jvm_rx(p: str) -> str:
     return "(?i)" + p
 
 
+_GUARD_SPLIT = re.compile(r"\\s[+*]|&\?")
+_GUARD_META = re.compile(r"[\\.^$|?*+()\[\]{}]")
+
+
+def _literal_guard(p: str) -> list[str] | None:
+    """The whitespace-free literals every match of ``p`` must ALL contain,
+    lowercased — or None when the pattern has constructs (alternation,
+    optional atoms beyond ``&?``) under which no literal set is implied.
+
+    Used to gate each regexp_count behind codegen ``contains`` ANDs: regex
+    matching is the dominant per-row cost of the routing scan (measured
+    ~4 s of a ~12 s sf20 scan at 16 cores), and contains(lit) is a plain
+    byte scan. Exactness: any guard literal absent implies the regex
+    cannot match, so the guarded count is identically the unguarded one.
+    Each literal is whitespace-free, so it also cannot straddle a span
+    join or a page-frame header — a match inside the framed detection
+    text implies every literal appears inside a single span's text."""
+    parts = [t for t in _GUARD_SPLIT.split(p) if t]
+    if not parts or any(_GUARD_META.search(t) or re.search(r"\s", t) for t in parts):
+        return None
+    return [t.lower() for t in parts]
+
+
 def sorted_text_spans_col(spans_col: str = "spans") -> Column:
     """(offset, text) structs of the text spans, offset-sorted — the shared
     input of the detection-text framing. Callers should materialize this
@@ -288,15 +311,31 @@ def route_columns(docs: DataFrame) -> DataFrame:
     multi-referenced non-cheap aliases alone, so the plan stays linear."""
     from .configs import VENDOR_CONFIGS
 
-    # Prefilter: one combined-alternation scan over the WHOLE doc's text
-    # spans (cheap concat, no page logic). The detection text is a subset
-    # of this (first 3 pages, and its page framing can't satisfy any brand
-    # pattern), so a negative prefilter proves detection returns
-    # (None, 0.0) — the expensive framed-text assembly + 30 per-pattern
-    # scans run only on the ~quarter of docs that mention a brand at all.
-    all_pos = "(?i)(?:" + "|".join(
-        p for cfg in VENDOR_PATTERNS.values() for p, _w in cfg["patterns"]
-    ) + ")"
+    # Prefilter: token-contains scan over the WHOLE doc's text spans (cheap
+    # concat, no page logic). Every positive pattern implies one literal
+    # guard token (_literal_guard), the detection text is a subset of this
+    # text (first 3 pages; its page framing contains no guard token and a
+    # whitespace-free token can't straddle a join boundary), so a negative
+    # prefilter proves detection returns (None, 0.0) — the expensive
+    # framed-text assembly + 30 per-pattern scans run only on the ~quarter
+    # of docs that mention a brand at all. An OR of per-pattern
+    # contains-AND groups instead of one combined rlike alternation: the
+    # backtracking regex alternation tried every branch per position
+    # (measured ~3 s of the sf20 scan at 16 cores); byte-scan contains
+    # are codegen, short-circuit, and cheaper. A prefilter
+    # false positive only wastes one framed-text evaluation (detection
+    # still scores 0 → (None, 0.0), same as the oracle); a pattern with no
+    # derivable guard falls back into a residual rlike alternation so the
+    # prefilter can never under-select.
+    guard_groups: list[list[str]] = []
+    unguarded: list[str] = []
+    for cfg in VENDOR_PATTERNS.values():
+        for p, _w in cfg["patterns"]:
+            g = _literal_guard(p)
+            if g is None:
+                unguarded.append(p)
+            elif g not in guard_groups:
+                guard_groups.append(g)
     whole_text = F.lower(
         F.concat_ws(
             " ",
@@ -306,7 +345,19 @@ def route_columns(docs: DataFrame) -> DataFrame:
             ),
         )
     )
-    d = docs.withColumn("_pre", whole_text.rlike(all_pos))
+    d = docs.select("*", whole_text.alias("_wt"))
+    pre = None
+    for group in guard_groups:
+        c = None
+        for tok in group:
+            t = F.col("_wt").contains(F.lit(tok))
+            c = t if c is None else c & t
+        pre = c if pre is None else pre | c
+    if unguarded:
+        rx = "(?i)(?:" + "|".join(unguarded) + ")"
+        c = F.col("_wt").rlike(rx)
+        pre = c if pre is None else pre | c
+    d = d.withColumn("_pre", pre).drop("_wt")
     # Sorted text spans materialize ONCE (named column, own projection);
     # the framing's per-page passes then scan that array instead of
     # re-filtering + re-sorting the raw spans up to 4x per row. Empty for
@@ -328,21 +379,30 @@ def route_columns(docs: DataFrame) -> DataFrame:
     d = d.select("*", F.lower(F.col("_dt")).alias("_lt"))
     d = d.select("*", F.length(F.col("_lt")).cast("double").alias("_tlen"))
 
-    # Stage 1: every pattern's match count as its own column (one projection).
+    # Stage 1: every pattern's match count as its own column (one
+    # projection), each regexp_count gated behind a codegen contains() on
+    # the pattern's implied literal (_literal_guard): contains == false
+    # proves count == 0, so the guarded column is identically the unguarded
+    # one, and the regex engine runs only where the token actually occurs
+    # (for 3/4 of rows _lt is "" and every guard fails without touching a
+    # matcher — measured ~4 s → sub-second for this stage at sf20/16c).
+    def _guarded_count(pattern: str) -> Column:
+        cnt = F.regexp_count(F.col("_lt"), F.lit(_jvm_rx(pattern))).cast("double")
+        g = _literal_guard(pattern)
+        if g is None:
+            return cnt
+        guard = None
+        for tok in g:
+            t = F.col("_lt").contains(F.lit(tok))
+            guard = t if guard is None else guard & t
+        return F.when(guard, cnt).otherwise(F.lit(0.0))
+
     counts = []
     for vendor_id, config in VENDOR_PATTERNS.items():
         for i, (pattern, _w) in enumerate(config["patterns"]):
-            counts.append(
-                F.regexp_count(F.col("_lt"), F.lit(_jvm_rx(pattern)))
-                .cast("double")
-                .alias(f"_m_{vendor_id}_{i}")
-            )
+            counts.append(_guarded_count(pattern).alias(f"_m_{vendor_id}_{i}"))
         for i, neg in enumerate(config["negative_patterns"]):
-            counts.append(
-                F.regexp_count(F.col("_lt"), F.lit(_jvm_rx(neg)))
-                .cast("double")
-                .alias(f"_g_{vendor_id}_{i}")
-            )
+            counts.append(_guarded_count(neg).alias(f"_g_{vendor_id}_{i}"))
     d = d.select("*", *counts)
 
     # Stage 2: scores (pure arithmetic over attribute refs — cheap to copy).

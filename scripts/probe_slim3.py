@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Micro-probe 3: prefilter cost, HOF form vs codegen form, at one core
+count. Not part of the bench contract."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main():
+    cpus = int(sys.argv[1])
+    sf = float(sys.argv[2]) if len(sys.argv) > 2 else 20.0
+    n_exec = max(1, cpus // 4)
+    os.environ["SPARK_GRAFT_MASTER"] = f"local-cluster[{n_exec},4,12288]"
+    os.environ.setdefault("SPARK_LOCAL_DIRS", "/dev/shm/sparktmp")
+
+    from pdf_parser_spark.session import get_spark
+
+    spark = get_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from pyspark.sql import functions as F
+    from pdf_parser_spark.vendor_detect import VENDOR_PATTERNS
+
+    docs = spark.read.parquet(os.path.join(REPO, ".cache", f"bench_corpus_sf{sf}.parquet"))
+    docs.write.format("noop").mode("overwrite").save()
+
+    all_pos = "(?i)(?:" + "|".join(
+        p for cfg in VENDOR_PATTERNS.values() for p, _w in cfg["patterns"]
+    ) + ")"
+
+    def pre_hof():
+        whole_text = F.lower(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.filter(F.col("spans"), lambda s: s["kind"] == "text"),
+                    lambda s: s["text"],
+                ),
+            )
+        )
+        d = docs.select("doc_id", whole_text.rlike(all_pos).alias("_pre"))
+        d.write.format("noop").mode("overwrite").save()
+
+    def pre_cg():
+        whole_text = F.lower(F.array_join(F.col("spans.text"), " ", " "))
+        d = docs.select("doc_id", whole_text.rlike(all_pos).alias("_pre"))
+        d.write.format("noop").mode("overwrite").save()
+
+    out = {}
+    for name, fn in [("pre_hof", pre_hof), ("pre_cg", pre_cg)]:
+        ts = []
+        for _ in range(3):
+            t0 = time.time()
+            fn()
+            ts.append(round(time.time() - t0, 2))
+        out[name] = ts
+    print(json.dumps({"cpus": cpus, "phases": out}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
