@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pdf_parser_spark import driver_contract
 from pdf_parser_spark.analytics import ANALYTIC_QUERIES
 from pdf_parser_spark.boilerplate import BOILERPLATE_QUERIES
+from pdf_parser_spark.curation import CURATION_QUERIES
 from pdf_parser_spark.datapipe import DATAPIPE_QUERIES
 from pdf_parser_spark.layout import LAYOUT_QUERIES
 from pdf_parser_spark.lm_filter import LM_QUERIES
@@ -73,6 +74,13 @@ _FRONT = [
     "ewma_smooth",
     "benford_audit",
     "winsorized_stats",
+    # Round-3 curation.py suite: newest, not yet driver-verified.
+    "global_shuffle",
+    "incremental_minhash_pairs",
+    "score_calibration",
+    "compact_small_files",
+    "small_lot_revenue",
+    "top_supplier_revenue",
 ]
 
 _OVERFLOW_TAIL = [
@@ -243,6 +251,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out[name] = fn
     for name, (fn, _sql) in SELECTION_QUERIES.items():
         out[name] = fn
+    for name, (fn, _sql) in CURATION_QUERIES.items():
+        out[name] = fn
     for name, (fn, _sql) in TIMESERIES_QUERIES.items():
         out[name] = fn
     for name, (fn, _sql) in IR_QUERIES.items():
@@ -300,5 +310,7 @@ def oracle_sql() -> dict[str, str]:
     for name, (_fn, sql) in BPE_QUERIES.items():
         out[name] = sql if isinstance(sql, str) else sql(correctness_sf)
     for name, (_fn, sql) in SELECTION_QUERIES.items():
+        out[name] = sql if isinstance(sql, str) else sql(correctness_sf)
+    for name, (_fn, sql) in CURATION_QUERIES.items():
         out[name] = sql if isinstance(sql, str) else sql(correctness_sf)
     return out

@@ -152,6 +152,10 @@ def main() -> None:
 
     all_queries.update(SELECTION_QUERIES)
 
+    from pdf_parser_spark.curation import CURATION_QUERIES
+
+    all_queries.update(CURATION_QUERIES)
+
     from pdf_parser_spark.sketches import SKETCH_QUERIES
 
     all_queries.update(SKETCH_QUERIES)

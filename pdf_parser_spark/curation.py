@@ -1,0 +1,433 @@
+"""Corpus-curation round-out operators with DuckDB oracles.
+
+Six operators a production corpus build / warehouse still needs that the
+rest of the suite doesn't cover:
+
+  * ``global_shuffle`` — deterministic seeded training-order shuffle:
+    every doc gets a stable (shard, position) from portable integer
+    hashes of doc_id, so the training order is reproducible across
+    re-runs AND re-partitions (rand() is neither) and any shard can be
+    regenerated independently. The within-shard ordering window is
+    per-shard; shard count is chosen so a shard is task-sized
+    (at 100 TB: n_shards ~ corpus_rows / 10^6, here 16).
+  * ``incremental_minhash_pairs`` — snapshot-incremental LSH near-dup:
+    when a daily batch lands on an already-deduped corpus, only pairs
+    involving a NEW doc need checking — old-old pairs were decided in
+    previous runs. The LSH bucket join therefore puts ONLY the new
+    batch on the probe side, so the join cost scales with the batch,
+    not the corpus: the core economics of incremental dedup at 100 TB.
+    Same count-first hot-bucket cap as ``minhash_band_candidates``.
+  * ``score_calibration`` — reliability diagram for a model-based
+    filter score: fixed-width buckets over the observed score range,
+    per-bucket mean score vs empirical positive rate. The companion to
+    ``score_auc`` (ranking quality) — calibration tells you whether a
+    0.9 means 90%. All bucket arithmetic on the integer cent grid.
+  * ``compact_small_files`` — output-file compaction planning: the
+    small-file problem at 100 TB is real (a 10^6-file table with 10 KB
+    files destroys scan throughput); this plans the coalesce by
+    sequential cumulative-size bin packing over the file listing, a
+    metadata-scale frame. Prefix sums ride the ``_global_prefix``
+    two-phase device, so even a 10^8-file listing never single-tasks.
+  * ``small_lot_revenue`` — TPC-H Q17's correlated aggregate subquery
+    (rows below 20% of their group's average), decorrelated into ONE
+    scan: per-partkey sufficient statistics (count, sum) as a window
+    over the partkey partition (bounded by lines-per-part, never
+    corpus-sized) and the 0.2·avg comparison done in exact BIGINT
+    cross-multiplied form (5·qty·cnt < sum_qty) — no float avg, so
+    both engines pick identical rows.
+  * ``top_supplier_revenue`` — TPC-H Q15's view + scalar-subquery max:
+    per-supplier revenue in a shipping quarter, suppliers matching the
+    global maximum. Revenue accumulates as integer ten-thousandths
+    (the rollup discipline) so the equality-to-max compare is exact; the
+    1-row max broadcasts back onto the supplier frame.
+
+Reference parity: the reference's only corpus-order device is the
+upload queue (extractor/views/core.py) and its dedup is exact-hash
+(core.py:630-644); global_shuffle / incremental_minhash_pairs are the
+training-data-pipeline extensions SURVEY.md §2.13 mandates, and the two
+TPC-H shapes extend the §2.10 join/agg inventory with the correlated-
+subquery plans Catalyst decorrelates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .analytics.queries import MINHASH_BUCKET_CAP, minhash_sigs
+
+# Portable multiplicative hashes (datapipe._HASH_* discipline): doc_id is
+# reduced mod 2^31-1 before the multiply so the product stays under 2^63 in
+# both engines (JVM wraps silently, DuckDB raises — divergence exactly at
+# scale). Two different odd multipliers give two independent streams: one
+# picks the shard, one orders within the shard.
+_PRE = 2147483647
+_MULT_SHARD = 2654435761  # Knuth
+_MULT_ORDER = 2246822519  # xxhash prime 2
+_MOD = 4294967296
+
+N_SHARDS = 16           # test-scale; 100 TB: corpus_rows / ~1e6
+COMPACT_TARGET = 200_000  # chars per compacted output file (test-scale)
+CAL_BUCKETS = 10
+
+
+def _t(spark, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# global_shuffle
+# ---------------------------------------------------------------------------
+
+
+def q_global_shuffle(spark, sf_dir):
+    """Deterministic training-order shuffle: (shard, pos) per doc.
+
+    Plan: one scan computes both hash streams; one exchange on shard; the
+    row_number window is per-shard, and a shard is a bounded unit by
+    construction (n_shards scales with the corpus so shard size is the
+    constant, the same sizing contract as ``pack_sequences``). doc_id
+    breaks order-hash ties so the order is total and engine-independent.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    shard = ((F.col("doc_id") % _PRE) * _MULT_SHARD % _MOD % N_SHARDS).cast(
+        "long"
+    )
+    okey = ((F.col("doc_id") % _PRE) * _MULT_ORDER % _MOD).cast("long")
+    w = Window.partitionBy("shard").orderBy("okey", "doc_id")
+    return (
+        docs.select("doc_id", shard.alias("shard"), okey.alias("okey"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("doc_id", "shard", "pos")
+    )
+
+
+SQL_GLOBAL_SHUFFLE = f"""
+SELECT doc_id,
+       ((doc_id % {_PRE}) * {_MULT_SHARD} % {_MOD} % {N_SHARDS})::BIGINT AS shard,
+       row_number() OVER (
+         PARTITION BY (doc_id % {_PRE}) * {_MULT_SHARD} % {_MOD} % {N_SHARDS}
+         ORDER BY (doc_id % {_PRE}) * {_MULT_ORDER} % {_MOD}, doc_id
+       )::BIGINT AS pos
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# incremental_minhash_pairs
+# ---------------------------------------------------------------------------
+
+# The daily batch: docs whose id lands in the top fifth of the id ring.
+# In production this is the snapshot boundary (ingest_date > watermark);
+# here it must be a pure doc_id function so the oracle sees the same split.
+_NEW_PRED = "doc_id % 10 >= 8"
+
+
+def q_incremental_minhash_pairs(spark, sf_dir):
+    """Incremental LSH candidate generation: new-batch docs vs corpus.
+
+    Plan: signatures for all docs (one scan — in production the corpus
+    side is the STORED signature table, not recomputed); bucket sizes
+    count-first on the same (band, sig) key; only the new batch joins as
+    probe side against cold buckets, so pair work is O(batch · bucket),
+    never O(corpus²). new-new pairs ordered da < db; new-old pairs keep
+    (new, old) orientation — each undecided pair appears exactly once.
+    Hot buckets (> cap members) are excluded and reported per band, the
+    ``minhash_band_candidates`` policy.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    sigs = minhash_sigs(docs.select("doc_id", "text")).withColumn(
+        "is_new", F.expr(_NEW_PRED)
+    )
+    counts = sigs.groupBy("band", "sig").agg(F.count(F.lit(1)).alias("c"))
+    cold = counts.where(F.col("c") <= MINHASH_BUCKET_CAP).select("band", "sig")
+    probe = (
+        sigs.where("is_new")
+        .join(cold, ["band", "sig"])
+        .select("band", "sig", F.col("doc_id").alias("da"))
+    )
+    build = sigs.select(
+        F.col("band").alias("band_b"),
+        F.col("sig").alias("sig_b"),
+        F.col("doc_id").alias("db"),
+        F.col("is_new").alias("new_b"),
+    )
+    pairs = probe.join(
+        build,
+        (probe.band == build.band_b)
+        & (probe.sig == build.sig_b)
+        & (probe.da != build.db)
+        # both-new pairs once (da < db); new-old pairs once, new side first
+        & (~build.new_b | (probe.da < build.db)),
+    )
+    per_band = pairs.groupBy(F.col("band").cast("long").alias("band")).agg(
+        F.sum(F.when(F.col("new_b"), 1).otherwise(0)).cast("long").alias("n_new_new"),
+        F.sum(F.when(F.col("new_b"), 0).otherwise(1)).cast("long").alias("n_new_old"),
+    )
+    hot = counts.groupBy(F.col("band").cast("long").alias("band")).agg(
+        F.sum(F.when(F.col("c") > MINHASH_BUCKET_CAP, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hot_buckets"),
+    )
+    return per_band.join(hot, "band").select(
+        "band", "n_new_new", "n_new_old", "n_hot_buckets"
+    )
+
+
+SQL_INCREMENTAL_MINHASH_PAIRS = f"""
+WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+     sigs AS (SELECT doc_id, band, min(substr(md5(token), band * 8 + 1, 8)) AS sig
+              FROM toks, (SELECT unnest(range(4)) AS band)
+              GROUP BY doc_id, band),
+     buckets AS (SELECT band, sig, count(*) AS c,
+                        sum(CASE WHEN {_NEW_PRED} THEN 1 ELSE 0 END) AS c_new
+                 FROM sigs GROUP BY band, sig)
+SELECT band::BIGINT AS band,
+       sum(CASE WHEN c <= {MINHASH_BUCKET_CAP}
+                THEN (c_new * (c_new - 1)) // 2 ELSE 0 END)::BIGINT AS n_new_new,
+       sum(CASE WHEN c <= {MINHASH_BUCKET_CAP}
+                THEN c_new * (c - c_new) ELSE 0 END)::BIGINT AS n_new_old,
+       sum(CASE WHEN c > {MINHASH_BUCKET_CAP} THEN 1 ELSE 0 END)::BIGINT AS n_hot_buckets
+FROM buckets GROUP BY 1
+HAVING sum(CASE WHEN c <= {MINHASH_BUCKET_CAP}
+                THEN (c_new * (c_new - 1)) // 2 + c_new * (c - c_new)
+           ELSE 0 END) > 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# score_calibration
+# ---------------------------------------------------------------------------
+
+
+def q_score_calibration(spark, sf_dir):
+    """Reliability buckets for the purchase-propensity score (event
+    ``value`` vs purchase label, the ``score_auc`` pairing).
+
+    Plan: ONE corpus scan collapses events to the distinct-cent-score
+    frame (score grid, not row count); min/max come from that tiny frame
+    and broadcast back; the bucket aggregate runs on the same frame. No
+    quantile machinery — fixed-width buckets over the observed range are
+    deterministic in integer math, which percentile-based deciles are
+    not across engines.
+    """
+    g = (
+        _t(spark, sf_dir, "events")
+        .select(
+            F.round(F.col("value") * 100).cast("long").alias("s"),
+            (F.col("event_type") == "purchase").cast("long").alias("pos"),
+        )
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("pos").alias("np"))
+    )
+    rng = g.agg(
+        F.min("s").alias("lo"), (F.max("s") - F.min("s") + 1).alias("span")
+    )
+    bucket = F.floor((F.col("s") - F.col("lo")) * CAL_BUCKETS / F.col("span"))
+    return (
+        g.crossJoin(F.broadcast(rng))
+        .groupBy(bucket.cast("long").alias("bucket"))
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.round(F.sum(F.col("s") * F.col("n")) / (100.0 * F.sum("n")), 6).alias(
+                "mean_score"
+            ),
+            F.round(F.sum("np") / F.sum("n").cast("double"), 6).alias("frac_pos"),
+        )
+    )
+
+
+SQL_SCORE_CALIBRATION = f"""
+WITH g AS (
+  SELECT round(value * 100)::BIGINT AS s, count(*) AS n,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS np
+  FROM events GROUP BY 1
+), rng AS (SELECT min(s) AS lo, max(s) - min(s) + 1 AS span FROM g)
+SELECT ((s - lo) * {CAL_BUCKETS} // span)::BIGINT AS bucket,
+       sum(n)::BIGINT AS n,
+       round(sum(s * n) / (100.0 * sum(n)), 6) AS mean_score,
+       round(sum(np) / sum(n)::DOUBLE, 6) AS frac_pos
+FROM g, rng GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# compact_small_files
+# ---------------------------------------------------------------------------
+
+
+def q_compact_small_files(spark, sf_dir):
+    """Sequential bin-packing compaction plan over the per-source file
+    listing (one "file" per source, sized by its total chars — the
+    metadata a table format's manifest supplies for free).
+
+    Plan: the corpus collapses to the file listing in one aggregate;
+    the cumulative size that drives bin assignment uses the
+    ``_global_prefix`` two-phase device, so a 10^8-file listing still
+    never funnels through one task. bin = floor(prefix / target) is the
+    classic contiguous packing: preserves source order (locality) and
+    every bin lands in [target, target + max_file) bytes.
+    """
+    from .datapipe import _global_prefix
+
+    files = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.sum("n_chars").alias("size_chars"))
+    )
+    pre = _global_prefix(spark, files, "size_chars", order_col="source")
+    return pre.select(
+        "source",
+        F.col("size_chars").cast("long").alias("size_chars"),
+        F.floor(F.col("_pre") / COMPACT_TARGET).cast("long").alias("file_bin"),
+    )
+
+
+SQL_COMPACT_SMALL_FILES = f"""
+WITH files AS (
+  SELECT source, sum(n_chars)::BIGINT AS size_chars
+  FROM documents GROUP BY source
+)
+SELECT source, size_chars,
+       (COALESCE(sum(size_chars) OVER (
+          ORDER BY source ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+        ), 0) // {COMPACT_TARGET})::BIGINT AS file_bin
+FROM files
+"""
+
+
+# ---------------------------------------------------------------------------
+# small_lot_revenue (TPC-H Q17 shape)
+# ---------------------------------------------------------------------------
+
+_Q17_BRAND = "Brand#1"
+
+
+def q_small_lot_revenue(spark, sf_dir):
+    """Q17: revenue lost to small-lot orders — lineitems of one brand's
+    parts whose quantity is below 20% of that part's average quantity.
+
+    Plan: Catalyst's decorrelation of the correlated avg subquery would
+    scan lineitem twice (aggregate + join back); instead the per-partkey
+    (count, sum) ride a window over the partkey partition — bounded by
+    lines-per-part (~30 at any scale), ONE lineitem scan, ONE exchange.
+    The brand dim broadcast-prunes before the exchange. The 0.2·avg
+    threshold compares in cross-multiplied BIGINT (5·qty·cnt < Σqty):
+    no float average, so the row set is bit-identical across engines.
+    """
+    part = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_brand") == _Q17_BRAND)
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_c"),
+    )
+    w = Window.partitionBy("l_partkey")
+    filtered = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .withColumn("cnt", F.count(F.lit(1)).over(w))
+        .withColumn("sum_q", F.sum("qty").over(w))
+        .where(F.col("qty") * 5 * F.col("cnt") < F.col("sum_q"))
+    )
+    return filtered.agg(
+        F.count(F.lit(1)).cast("long").alias("n_small_lots"),
+        F.round(F.sum("price_c") / 700.0, 2).alias("avg_yearly"),
+    )
+
+
+SQL_SMALL_LOT_REVENUE = f"""
+WITH li AS (
+  SELECT l_partkey, l_quantity::BIGINT AS qty,
+         round(l_extendedprice * 100)::BIGINT AS price_c
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = '{_Q17_BRAND}')
+), st AS (
+  SELECT *, count(*) OVER (PARTITION BY l_partkey) AS cnt,
+         sum(qty) OVER (PARTITION BY l_partkey) AS sum_q
+  FROM li
+)
+SELECT count(*)::BIGINT AS n_small_lots,
+       round(sum(price_c) / 700.0, 2) AS avg_yearly
+FROM st WHERE qty * 5 * cnt < sum_q
+"""
+
+
+# ---------------------------------------------------------------------------
+# top_supplier_revenue (TPC-H Q15 shape)
+# ---------------------------------------------------------------------------
+
+_Q15_LO = "1996-01-01"
+_Q15_HI = "1996-04-01"
+
+
+def q_top_supplier_revenue(spark, sf_dir):
+    """Q15: the supplier(s) with maximum revenue in a shipping quarter.
+
+    Plan: one date-pruned lineitem scan → per-supplier hash aggregate in
+    integer ten-thousandths (exact, so equality-to-max cannot be broken
+    by summation order); the 1-row global max broadcasts back; the
+    supplier dim broadcast-joins for the name. Scalar subquery + view of
+    Q15 expressed as two broadcasts over one aggregate — no second
+    corpus scan, no window.
+    """
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit(_Q15_LO))
+            & (F.col("l_shipdate") < F.lit(_Q15_HI))
+        )
+        .select(
+            "l_suppkey",
+            F.round(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+                * 10000
+            )
+            .cast("long")
+            .alias("rev_e4"),
+        )
+    )
+    rev = li.groupBy("l_suppkey").agg(F.sum("rev_e4").alias("rev_e4"))
+    mx = rev.agg(F.max("rev_e4").alias("mx"))
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("rev_e4") == F.col("mx"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("s_suppkey").cast("long").alias("s_suppkey"),
+            "s_name",
+            F.round(F.col("rev_e4") / 10000.0, 2).alias("total_revenue"),
+        )
+    )
+
+
+SQL_TOP_SUPPLIER_REVENUE = f"""
+WITH rev AS (
+  SELECT l_suppkey,
+         sum(round(round(l_extendedprice * (1 - l_discount), 4) * 10000)::BIGINT)
+           AS rev_e4
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{_Q15_LO}' AND l_shipdate < TIMESTAMP '{_Q15_HI}'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey::BIGINT AS s_suppkey, s_name,
+       round(rev_e4 / 10000.0, 2) AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE rev_e4 = (SELECT max(rev_e4) FROM rev)
+"""
+
+
+CURATION_QUERIES: dict[str, tuple] = {
+    "global_shuffle": (q_global_shuffle, SQL_GLOBAL_SHUFFLE),
+    "incremental_minhash_pairs": (
+        q_incremental_minhash_pairs,
+        SQL_INCREMENTAL_MINHASH_PAIRS,
+    ),
+    "score_calibration": (q_score_calibration, SQL_SCORE_CALIBRATION),
+    "compact_small_files": (q_compact_small_files, SQL_COMPACT_SMALL_FILES),
+    "small_lot_revenue": (q_small_lot_revenue, SQL_SMALL_LOT_REVENUE),
+    "top_supplier_revenue": (q_top_supplier_revenue, SQL_TOP_SUPPLIER_REVENUE),
+}
