@@ -81,6 +81,7 @@ _FRONT = [
     "compact_small_files",
     "small_lot_revenue",
     "top_supplier_revenue",
+    "market_share",
 ]
 
 _OVERFLOW_TAIL = [

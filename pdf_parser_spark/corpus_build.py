@@ -154,6 +154,22 @@ def build(spark, input_dir: str, output: str, resume: bool = True) -> dict:
         )
         skipped["pack"] = False
 
+    # Training-order manifest over the KEPT corpus: the deterministic
+    # (shard, pos) every epoch's data loader replays (curation.py's
+    # global_shuffle, reused verbatim on the filtered corpus the same way
+    # the pack stage reuses q_pack_sequences). Written partitioned by
+    # shard so one shard = one reader's file set.
+    order_path = os.path.join(output, "order.parquet")
+    if resume and _done(order_path):
+        skipped["order"] = True
+    else:
+        from .curation import q_global_shuffle
+
+        q_global_shuffle(spark, corpus_dir).write.mode("overwrite").partitionBy(
+            "shard"
+        ).parquet(order_path)
+        skipped["order"] = False
+
     summary = {"counts": counts, "skipped": skipped, "output": output}
     with open(os.path.join(output, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2, sort_keys=True)

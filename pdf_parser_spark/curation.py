@@ -1,7 +1,7 @@
 """Corpus-curation round-out operators with DuckDB oracles.
 
-Six operators a production corpus build / warehouse still needs that the
-rest of the suite doesn't cover:
+Seven operators a production corpus build / warehouse still needs that
+the rest of the suite doesn't cover:
 
   * ``global_shuffle`` — deterministic seeded training-order shuffle:
     every doc gets a stable (shard, position) from portable integer
@@ -40,6 +40,9 @@ rest of the suite doesn't cover:
     global maximum. Revenue accumulates as integer ten-thousandths
     (the rollup discipline) so the equality-to-max compare is exact; the
     1-row max broadcasts back onto the supplier frame.
+  * ``market_share`` — TPC-H Q8's nation-market-share: the deepest join
+    tree in the suite, with every dimension chain broadcast so the fact
+    table shuffles exactly once (lineitem→orders on o_orderkey).
 
 Reference parity: the reference's only corpus-order device is the
 upload queue (extractor/views/core.py) and its dedup is exact-hash
@@ -420,6 +423,119 @@ WHERE rev_e4 = (SELECT max(rev_e4) FROM rev)
 """
 
 
+# ---------------------------------------------------------------------------
+# market_share (TPC-H Q8 shape)
+# ---------------------------------------------------------------------------
+
+_Q8_REGION = "ASIA"
+_Q8_TYPE = "STANDARD"
+_Q8_NATION = "NATION_3"
+_Q8_LO = "1995-01-01"
+_Q8_HI = "1997-01-01"
+
+
+def q_market_share(spark, sf_dir):
+    """Q8: one nation's share of a region's market for one part type,
+    per order year — the deepest join tree in the suite (lineitem ×
+    orders × customer × nation × region × part × supplier × nation).
+
+    Plan: every dimension chain broadcasts (nations-in-region and
+    type-filtered part prune *before* touching the fact side; supplier
+    carries only a boolean "is the target nation"), so lineitem→orders
+    is the ONLY shuffle join, on the natural o_orderkey key. The
+    conditional share aggregates integer ten-thousandths and rounds
+    once — Q8's `when nation then volume else 0` form, exact across
+    engines regardless of summation order.
+    """
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == _Q8_REGION)
+    mkt_nations = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select(F.col("n_nationkey").alias("mkt_nk"))
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(mkt_nations), F.col("c_nationkey") == F.col("mkt_nk"))
+        .select("c_custkey")
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= F.lit(_Q8_LO))
+            & (F.col("o_orderdate") < F.lit(_Q8_HI))
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", F.year("o_orderdate").alias("o_year"))
+    )
+    part = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_type") == _Q8_TYPE)
+        .select("p_partkey")
+    )
+    supp = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(
+            nation.select(F.col("n_nationkey").alias("s_nk"), "n_name")
+        ),
+        F.col("s_nationkey") == F.col("s_nk"),
+    ).select("s_suppkey", (F.col("n_name") == _Q8_NATION).alias("is_target"))
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "l_orderkey",
+            "is_target",
+            F.round(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+                * 10000
+            )
+            .cast("long")
+            .alias("rev_e4"),
+        )
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("o_year").cast("long").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("is_target"), F.col("rev_e4")).otherwise(0)).alias(
+                "target_e4"
+            ),
+            F.sum("rev_e4").alias("total_e4"),
+        )
+        .select(
+            "o_year",
+            F.round(F.col("target_e4") / F.col("total_e4").cast("double"), 6).alias(
+                "mkt_share"
+            ),
+            F.round(F.col("total_e4") / 10000.0, 2).alias("total_revenue"),
+        )
+    )
+
+
+SQL_MARKET_SHARE = f"""
+WITH vol AS (
+  SELECT year(o_orderdate) AS o_year,
+         CASE WHEN n2.n_name = '{_Q8_NATION}' THEN 1 ELSE 0 END AS is_target,
+         round(round(l_extendedprice * (1 - l_discount), 4) * 10000)::BIGINT
+           AS rev_e4
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region   ON n1.n_regionkey = r_regionkey
+  JOIN part     ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = '{_Q8_REGION}' AND p_type = '{_Q8_TYPE}'
+    AND o_orderdate >= TIMESTAMP '{_Q8_LO}'
+    AND o_orderdate < TIMESTAMP '{_Q8_HI}'
+)
+SELECT o_year::BIGINT AS o_year,
+       round(sum(is_target * rev_e4) / sum(rev_e4)::DOUBLE, 6) AS mkt_share,
+       round(sum(rev_e4) / 10000.0, 2) AS total_revenue
+FROM vol GROUP BY 1
+"""
+
+
 CURATION_QUERIES: dict[str, tuple] = {
     "global_shuffle": (q_global_shuffle, SQL_GLOBAL_SHUFFLE),
     "incremental_minhash_pairs": (
@@ -430,4 +546,5 @@ CURATION_QUERIES: dict[str, tuple] = {
     "compact_small_files": (q_compact_small_files, SQL_COMPACT_SMALL_FILES),
     "small_lot_revenue": (q_small_lot_revenue, SQL_SMALL_LOT_REVENUE),
     "top_supplier_revenue": (q_top_supplier_revenue, SQL_TOP_SUPPLIER_REVENUE),
+    "market_share": (q_market_share, SQL_MARKET_SHARE),
 }

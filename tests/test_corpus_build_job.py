@@ -50,6 +50,19 @@ def test_build_matches_funnel_packs_balance_and_resumes(spark, tmp_path):
     ).collect()[0][0]
     assert pack_tokens == kept_tokens == c["t_decontaminate"]
 
+    # Training-order manifest: one (shard, pos) per kept doc, positions
+    # dense per shard — the epoch replay a data loader consumes.
+    order = spark.read.parquet(os.path.join(out, "order.parquet"))
+    assert order.count() == c["n_decontaminate"]
+    assert order.select("doc_id").distinct().count() == c["n_decontaminate"]
+    dense = (
+        order.groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("pos").alias("mx"))
+        .where(F.col("n") != F.col("mx"))
+        .count()
+    )
+    assert dense == 0
+
     # summary.json round-trips.
     with open(os.path.join(out, "summary.json")) as f:
         assert json.load(f)["counts"]["n_ingest"] == c["n_ingest"]

@@ -12,7 +12,17 @@ import pytest
 from pdf_parser_spark import curation as cur
 
 SF_DIR = "/root/testdata/sf0.001"
-TABLES = ("documents", "lineitem", "part", "supplier", "events")
+TABLES = (
+    "documents",
+    "lineitem",
+    "part",
+    "supplier",
+    "events",
+    "orders",
+    "customer",
+    "nation",
+    "region",
+)
 
 
 def _duck(sql: str) -> pd.DataFrame:
@@ -140,6 +150,20 @@ def test_small_lot_revenue_pandas_replay(spark):
     out = cur.q_small_lot_revenue(spark, SF_DIR).toPandas().iloc[0]
     assert int(out["n_small_lots"]) == len(small)
     assert float(out["avg_yearly"]) == round(small["price_c"].sum() / 700.0, 2)
+
+
+def test_market_share_plan_one_shuffle_join(spark):
+    """Q8's seven-table tree must resolve to six BroadcastHashJoins plus
+    exactly ONE shuffle join (lineitem→orders on o_orderkey) — the
+    100 TB shape: dims prune before the fact side moves."""
+    plan = (
+        cur.q_market_share(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("BroadcastHashJoin") == 6
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") == 1
 
 
 def test_top_supplier_plan_all_broadcast(spark):
