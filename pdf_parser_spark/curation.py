@@ -536,6 +536,69 @@ FROM vol GROUP BY 1
 """
 
 
+# -- streaming twin of incremental_minhash_pairs ----------------------------
+
+
+def corpus_sig_buckets(spark, sf_dir: str) -> DataFrame:
+    """Static side of the streaming incremental dedup: the stored
+    signature table of the already-deduped corpus (old docs), restricted
+    to buckets that are cold BY CORPUS COUNT. In production this is a
+    maintained table, rebuilt only when the corpus snapshot rolls; the
+    stream job just loads it. The hot-bucket guard necessarily counts
+    only the corpus side here (a stream cannot know future batch
+    contents); the batch query's corpus+batch count is the
+    reconciliation run's stricter guard."""
+    docs = _t(spark, sf_dir, "documents").where(f"NOT ({_NEW_PRED})")
+    sigs = minhash_sigs(docs.select("doc_id", "text"))
+    counts = sigs.groupBy("band", "sig").agg(F.count(F.lit(1)).alias("c"))
+    cold = counts.where(F.col("c") <= MINHASH_BUCKET_CAP).select("band", "sig")
+    return sigs.join(cold, ["band", "sig"]).select(
+        "band", "sig", F.col("doc_id").alias("corpus_doc_id")
+    )
+
+
+def stream_minhash_candidates(new_docs: DataFrame, corpus_buckets: DataFrame) -> DataFrame:
+    """Streaming twin of ``q_incremental_minhash_pairs``'s new-old path:
+    per incoming document, its LSH candidate matches in the corpus.
+
+    The per-doc band signatures are computed IN-ROW (array_min over a
+    transform of the distinct-token array — a non-windowed groupBy is
+    illegal in an append stream, and this form needs none), then one
+    stateless explode to (band, sig) rows and a stream-static inner
+    join against the corpus bucket table. Append mode, zero state: the
+    streaming cost per doc is its token array plus a broadcast-join
+    probe — the per-doc analogue of the batch probe side. The identical
+    plan runs on a batch frame, which is how the pytest pins
+    equivalence, and the in-row signature is pinned equal to the
+    aggregate-form ``minhash_sigs`` on the same docs."""
+    toks = F.array_distinct(F.split("text", " "))
+
+    def band_sig(b: int):
+        # arity-1 lambda: a 2-arg lambda would make transform() pass the
+        # ARRAY INDEX as the second argument and clobber the band constant
+        start = b * 8 + 1
+        return F.array_min(
+            F.transform(toks, lambda t: F.substring(F.md5(t), start, 8))
+        )
+
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("int").alias("band"), band_sig(b).alias("sig")
+            )
+            for b in range(4)
+        ]
+    )
+    exploded = new_docs.select(
+        F.col("doc_id"), F.explode(bands).alias("bs")
+    ).select(
+        "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
+    return exploded.join(corpus_buckets, ["band", "sig"]).select(
+        "doc_id", "corpus_doc_id", F.col("band").cast("long").alias("band")
+    )
+
+
 CURATION_QUERIES: dict[str, tuple] = {
     "global_shuffle": (q_global_shuffle, SQL_GLOBAL_SHUFFLE),
     "incremental_minhash_pairs": (

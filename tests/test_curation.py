@@ -152,6 +152,86 @@ def test_small_lot_revenue_pandas_replay(spark):
     assert float(out["avg_yearly"]) == round(small["price_c"].sum() / 700.0, 2)
 
 
+def test_stream_minhash_candidates_matches_batch(spark, tmp_path):
+    """The streaming incremental-dedup twin over file micro-batches must
+    emit, across all batches, exactly the rows of the identical plan run
+    on a static frame; its in-row signatures must agree with the
+    aggregate-form minhash_sigs (cross-form pin); and on this corpus the
+    match set is non-vacuous."""
+    import pathlib
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    new = docs[docs["doc_id"] % 10 >= 8].reset_index(drop=True)
+    (pathlib.Path(tmp_path) / "in").mkdir()
+    half = len(new) // 2
+    new.iloc[:half].to_parquet(f"{tmp_path}/in/b0.parquet")
+    new.iloc[half:].to_parquet(f"{tmp_path}/in/b1.parquet")
+
+    buckets = cur.corpus_sig_buckets(spark, SF_DIR).cache()
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmp_path}/in")
+    )
+    collected = []
+    q = (
+        cur.stream_minhash_candidates(stream, buckets)
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda df, _id: collected.extend(df.collect()))
+        .option("checkpointLocation", f"{tmp_path}/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        pd.DataFrame([r.asDict() for r in collected])
+        .sort_values(["doc_id", "corpus_doc_id", "band"])
+        .reset_index(drop=True)
+    )
+    new_static = spark.read.parquet(f"{tmp_path}/in")
+    want = (
+        cur.stream_minhash_candidates(new_static, buckets)
+        .toPandas()
+        .sort_values(["doc_id", "corpus_doc_id", "band"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert len(got) > 0
+
+    # Cross-form pin: every (band, sig) the stream derived in-row exists
+    # identically in the aggregate-form signature table for that doc.
+    from pdf_parser_spark.analytics.queries import minhash_sigs
+    from pyspark.sql import functions as F
+
+    all_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    agg = minhash_sigs(all_docs.select("doc_id", "text"))
+
+    toks = F.array_distinct(F.split("text", " "))
+
+    def band_sig(b):
+        start = b * 8 + 1
+        return F.array_min(
+            F.transform(toks, lambda t: F.substring(F.md5(t), start, 8))
+        )
+
+    inrow = all_docs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), band_sig(b).alias("sig"))
+                    for b in range(4)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", "bs.band", "bs.sig")
+    assert inrow.exceptAll(agg).count() == 0
+    assert agg.exceptAll(inrow).count() == 0
+    buckets.unpersist()
+
+
 def test_market_share_plan_one_shuffle_join(spark):
     """Q8's seven-table tree must resolve to six BroadcastHashJoins plus
     exactly ONE shuffle join (lineitem→orders on o_orderkey) — the
