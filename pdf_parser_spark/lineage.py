@@ -89,6 +89,12 @@ def completed_buckets(spark: SparkSession, root: str) -> set[int]:
     return {r["bucket"] for r in rows}
 
 
+
+def _dbg(msg):
+    import sys, time as _t
+    if os.environ.get("SPARK_GRAFT_DEBUG_PHASES"):
+        print(f"[lineage-dbg {_t.time():.1f}] {msg}", file=sys.stderr, flush=True)
+
 def run_with_lineage(
     spark: SparkSession,
     docs: DataFrame,
@@ -139,34 +145,105 @@ def run_with_lineage(
         slim = slim.where(~F.col("bucket").isin(list(done)))
     slim = slim.persist()
 
+    _dbg("slim collect start")
     ran = sorted(r["bucket"] for r in slim.select("bucket").distinct().collect())
+    _dbg("slim collect done")
     if not ran:
+        # Most-derived first: unpersisting a BASE entry first makes
+        # CacheManager.recacheByCondition try to REBUILD every dependent
+        # cache entry against the raw (un-substituted) plan — on the
+        # admission DAG that rebuild re-analyzes a multiplicatively
+        # inlined tree and ground for minutes / OOMed the driver
+        # (jstack: Dataset.unpersist -> tryRebuildCacheEntry ->
+        # transformDown over the routing projections). Dropping
+        # dependents first leaves nothing to rebuild.
         slim.unpersist()
-        for f in cached:
+        for f in reversed(cached):
             f.unpersist()
         return {"job_id": job_id, "buckets_run": 0, "buckets_skipped": len(done)}
-    out = run_pipeline(
-        spark,
-        docs,
-        track=cached,
-        winners=slim.select("doc_id", "eff_vendor", "file_hash"),
-    )
-    to_write = {
-        name: out[name].withColumn("bucket", _bucket(F.col("doc_id"), n_buckets))
-        for name in ("extracted_spans", "extracted", "doc_stats")
-    }
-    to_write["doc_meta"] = slim.select(
-        "doc_id", F.col("eff_vendor").alias("vendor"), "file_hash", "bucket"
-    )
-
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    for name, df in to_write.items():
-        df.write.partitionBy("bucket").mode("overwrite").parquet(
-            os.path.join(root, name)
+
+    # doc_meta is written FIRST, and it is the ONLY write whose plan may
+    # carry the admission DAG. V1 write commands do NOT substitute cached
+    # plans (IgnoreCachedData), so unlike every action on these frames, a
+    # write re-optimizes the RAW admission plan: the ranking join plans
+    # the routing projections into BOTH sides, and with the resume
+    # anti-join underneath, PushDownPredicates alias-substitutes the
+    # admission filters down through the staged routing projections — the
+    # predicate grows multiplicatively (pre_reason inlines the score
+    # arithmetic, which inlines the guarded counts, which inline the
+    # framed-text HOFs): one doc_meta write burned 60+ s of pure Catalyst
+    # time and gigabytes of canonicalization garbage on a 120-doc corpus
+    # (RuleExecutor.dumpTimeSpent: PushDownPredicates 63 s of a 64 s
+    # optimize). Two defenses:
+    #   1. PushDownPredicates is excluded for exactly this write (the
+    #      predicates all test COMPUTED columns — pushdown buys nothing);
+    #   2. every OTHER write (and run_pipeline's winners side) reads the
+    #      just-written doc_meta parquet back instead of referencing the
+    #      slim plan, so the admission DAG appears in exactly one write
+    #      command per job instead of four.
+    prev_excluded = spark.conf.get("spark.sql.optimizer.excludedRules", None)
+    pdp = "org.apache.spark.sql.catalyst.optimizer.PushDownPredicates"
+    spark.conf.set(
+        "spark.sql.optimizer.excludedRules",
+        f"{prev_excluded},{pdp}" if prev_excluded else pdp,
+    )
+    # Constraint propagation is the second raw-plan hazard: with the
+    # admission filters above the first-wins join, InferFiltersFromConstraints
+    # materializes EqualNullSafe(alias, expr) constraint sets over the
+    # routing projections' aliases — combinatorial in the alias count and
+    # gigabytes of canonicalized copies on this plan (heap-OOMed an 8g
+    # driver on a 120-doc corpus). The inferred IsNotNull filters buy the
+    # write plans nothing.
+    prev_cp = spark.conf.get("spark.sql.constraintPropagation.enabled", None)
+    spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
+    try:
+        slim.select(
+            "doc_id", F.col("eff_vendor").alias("vendor"), "file_hash", "bucket"
+        ).write.partitionBy("bucket").mode("overwrite").parquet(
+            os.path.join(root, "doc_meta")
         )
+        _dbg("doc_meta write done")
+
+        # Exactly-once is preserved with doc_meta leading: a crash after
+        # this write but before a bucket's lineage row leaves the bucket
+        # un-lineaged, so the next resume ignores its doc_meta rows (the
+        # known-hash anti-set filters to COMPLETED buckets only) and the
+        # dynamic overwrite rewrites them.
+        winners = (
+            spark.read.parquet(os.path.join(root, "doc_meta"))
+            .where(F.col("bucket").isin(ran))
+            .select("doc_id", F.col("vendor").alias("eff_vendor"), "file_hash")
+        )
+        out = run_pipeline(spark, docs, track=cached, winners=winners)
+        to_write = {
+            name: out[name].withColumn(
+                "bucket", _bucket(F.col("doc_id"), n_buckets)
+            )
+            for name in ("extracted_spans", "extracted", "doc_stats")
+        }
+        # Still inside the exclusion scope: the kernel-pipeline writes'
+        # plans carry the resume anti-join under the page-assembly
+        # filters, the same pushdown-inlining hazard at smaller exponent.
+        for name, df in to_write.items():
+            _dbg(f"write {name} start")
+            df.write.partitionBy("bucket").mode("overwrite").parquet(
+                os.path.join(root, name)
+            )
+            _dbg(f"write {name} done")
+    finally:
+        if prev_excluded is None:
+            spark.conf.unset("spark.sql.optimizer.excludedRules")
+        else:
+            spark.conf.set("spark.sql.optimizer.excludedRules", prev_excluded)
+        if prev_cp is None:
+            spark.conf.unset("spark.sql.constraintPropagation.enabled")
+        else:
+            spark.conf.set("spark.sql.constraintPropagation.enabled", prev_cp)
 
     # Metrics per bucket from the materialized outputs (reads parquet back —
     # cheap, and guarantees metrics describe what was actually written).
+    _dbg("metrics start")
     spans = spark.read.parquet(os.path.join(root, "extracted_spans"))
     extracted = spark.read.parquet(os.path.join(root, "extracted"))
     metrics = (
@@ -201,9 +278,14 @@ def run_with_lineage(
         .write.mode("append")
         .parquet(lineage_path(root))
     )
-    for f in cached:
-        f.unpersist()
+    _dbg("metrics done; unpersisting")
+    # slim (most derived) first, then cached in reverse creation order —
+    # see the no-work branch above for why base-first unpersist is a
+    # driver-side OOM on this DAG.
     slim.unpersist()
+    for f in reversed(cached):
+        f.unpersist()
+    _dbg("returning")
     return {"job_id": job_id, "buckets_run": len(ran), "buckets_skipped": len(done)}
 
 
