@@ -35,6 +35,9 @@ def _assert_equal(spark_df, duck_df):
 @pytest.mark.parametrize("name", sorted(ts.TIMESERIES_QUERIES))
 def test_differential(spark, name):
     fn, sql = ts.TIMESERIES_QUERIES[name]
+    # lazy oracles (sf-parameterized callables, __spark_entry__ contract)
+    if callable(sql):
+        sql = sql(SF_DIR.rsplit("sf", 1)[1])
     _assert_equal(fn(spark, SF_DIR), _duck(sql))
 
 
