@@ -66,6 +66,13 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    # Ad-hoc conf overrides for experiments and cluster-shaped tuning:
+    # SPARK_GRAFT_EXTRA_CONF="k=v;k=v" (used by the scaling bench to A/B
+    # bandwidth-vs-CPU trades like the shuffle codec without code edits).
+    extra = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for kv in filter(None, extra.split(";")):
+        k, _, v = kv.partition("=")
+        builder = builder.config(k.strip(), v.strip())
     if executor_mem:
         builder = builder.config("spark.executor.memory", f"{executor_mem}m")
     if master.startswith("local-cluster") and executor_cores:
