@@ -2022,7 +2022,8 @@ WITH toks AS ({_SQL_LAYOUT_TOKENS}),
      plates AS (SELECT doc_id, token AS plate, y AS py FROM toks WHERE kind = 'plate'),
      heats AS (SELECT doc_id, token AS heat, y AS hy FROM toks WHERE kind = 'heat'),
      joined AS (
-       SELECT p.doc_id, p.plate, h.heat, round(abs(p.py - h.hy), 1) AS dy
+       SELECT p.doc_id, p.plate, h.heat,
+              round(abs(p.py - h.hy), 1)::DOUBLE AS dy
        FROM plates p JOIN heats h ON p.doc_id = h.doc_id AND abs(p.py - h.hy) <= 5.0
      )
 SELECT doc_id, plate, heat, dy FROM (
@@ -2287,7 +2288,7 @@ SQL_LARGE_VOLUME_ORDERS = f"""
 SELECT c_name, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date,
        round(o_totalprice, 2) AS o_totalprice, sum_qty
 FROM (
-  SELECT l_orderkey, SUM(l_quantity::BIGINT) AS sum_qty
+  SELECT l_orderkey, SUM(l_quantity::BIGINT)::BIGINT AS sum_qty
   FROM lineitem GROUP BY l_orderkey
   HAVING SUM(l_quantity::BIGINT) > {BIG_QTY_THRESHOLD}
 ) q
@@ -2403,7 +2404,7 @@ SQL_VOLUME_SHIPPING = """
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        EXTRACT(year FROM l_shipdate)::INT AS l_year,
        SUM(round(round(l_extendedprice * (1 - l_discount), 4)
-                 * 10000)::BIGINT) AS revenue_e4,
+                 * 10000)::BIGINT)::BIGINT AS revenue_e4,
        count(*)::BIGINT AS n_lines
 FROM lineitem
 JOIN supplier ON s_suppkey = l_suppkey
@@ -2467,7 +2468,9 @@ def q_returned_top_customers(spark, sf_dir):
             "c_name",
             "n_name",
             "revenue_e4",
-            "c_acctbal",
+            F.round(F.col("c_acctbal") * 100)
+            .cast("long")
+            .alias("acctbal_e2"),
         )
     )
 
@@ -2479,13 +2482,14 @@ WITH per_order AS (
                    * 10000)::BIGINT) AS rev_e4
   FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_orderkey
 ), per_cust AS (
-  SELECT o_custkey, SUM(rev_e4) AS revenue_e4
+  SELECT o_custkey, SUM(rev_e4)::BIGINT AS revenue_e4
   FROM orders JOIN per_order ON o_orderkey = l_orderkey
   GROUP BY o_custkey
   ORDER BY revenue_e4 DESC, o_custkey ASC
   LIMIT {RETURNED_TOP_K}
 )
-SELECT c_custkey::BIGINT AS c_custkey, c_name, n_name, revenue_e4, c_acctbal
+SELECT c_custkey::BIGINT AS c_custkey, c_name, n_name, revenue_e4,
+       round(c_acctbal * 100)::BIGINT AS acctbal_e2
 FROM per_cust
 JOIN customer ON c_custkey = o_custkey
 JOIN nation ON n_nationkey = c_nationkey

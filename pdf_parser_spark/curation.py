@@ -139,8 +139,14 @@ def q_incremental_minhash_pairs(spark, sf_dir):
     ``minhash_band_candidates`` policy.
     """
     docs = _t(spark, sf_dir, "documents")
-    sigs = minhash_sigs(docs.select("doc_id", "text")).withColumn(
-        "is_new", F.expr(_NEW_PRED)
+    # sigs feeds three plan subtrees (bucket counts, probe side, build
+    # side) — barrier the token-explode + md5 signature lineage once so
+    # it isn't recomputed per branch (same device as datapipe's
+    # near-dup candidates, datapipe.py:1126).
+    sigs = (
+        minhash_sigs(docs.select("doc_id", "text"))
+        .withColumn("is_new", F.expr(_NEW_PRED))
+        .localCheckpoint(eager=False)
     )
     counts = sigs.groupBy("band", "sig").agg(F.count(F.lit(1)).alias("c"))
     cold = counts.where(F.col("c") <= MINHASH_BUCKET_CAP).select("band", "sig")
@@ -226,7 +232,10 @@ def q_score_calibration(spark, sf_dir):
     rng = g.agg(
         F.min("s").alias("lo"), (F.max("s") - F.min("s") + 1).alias("span")
     )
-    bucket = F.floor((F.col("s") - F.col("lo")) * CAL_BUCKETS / F.col("span"))
+    # Integer division end-to-end (`div`, not floor(double /)) — exact by
+    # construction, matching the oracle's `//`, instead of exact only
+    # while (s-lo)*CAL_BUCKETS stays under 2^53.
+    bucket = F.expr(f"(s - lo) * {CAL_BUCKETS} div span")
     return (
         g.crossJoin(F.broadcast(rng))
         .groupBy(bucket.cast("long").alias("bucket"))

@@ -2988,35 +2988,46 @@ FROM gl
 
 
 SQL_REFERENTIAL_INTEGRITY = """
+-- Parent keys DISTINCT'd to mirror the Spark side's .distinct() on each
+-- dim (a duplicate parent key must not double-count child rows), and
+-- EVERY branch casts count/SUM to BIGINT explicitly — an uncast branch
+-- yields HUGEINT and a mixed-type UNION whose pandas dtype varies by
+-- DuckDB version (round-3 driver hash mismatch).
+WITH po AS (SELECT DISTINCT o_orderkey FROM orders),
+     pp AS (SELECT DISTINCT p_partkey FROM part),
+     ps AS (SELECT DISTINCT s_suppkey FROM supplier),
+     pc AS (SELECT DISTINCT c_custkey FROM customer),
+     pn AS (SELECT DISTINCT n_nationkey FROM nation),
+     pr AS (SELECT DISTINCT r_regionkey FROM region)
 SELECT 'lineitem.l_orderkey->orders' AS fk, count(*)::BIGINT AS n_child,
-       SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_orphans,
-       SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) = 0 AS ok
-FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+       SUM(CASE WHEN po.o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_orphans,
+       SUM(CASE WHEN po.o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT = 0 AS ok
+FROM lineitem l LEFT JOIN po ON l.l_orderkey = po.o_orderkey
 UNION ALL
-SELECT 'lineitem.l_partkey->part', count(*),
-       SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END),
-       SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) = 0
-FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+SELECT 'lineitem.l_partkey->part', count(*)::BIGINT,
+       SUM(CASE WHEN pp.p_partkey IS NULL THEN 1 ELSE 0 END)::BIGINT,
+       SUM(CASE WHEN pp.p_partkey IS NULL THEN 1 ELSE 0 END)::BIGINT = 0
+FROM lineitem l LEFT JOIN pp ON l.l_partkey = pp.p_partkey
 UNION ALL
-SELECT 'lineitem.l_suppkey->supplier', count(*),
-       SUM(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END),
-       SUM(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END) = 0
-FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+SELECT 'lineitem.l_suppkey->supplier', count(*)::BIGINT,
+       SUM(CASE WHEN ps.s_suppkey IS NULL THEN 1 ELSE 0 END)::BIGINT,
+       SUM(CASE WHEN ps.s_suppkey IS NULL THEN 1 ELSE 0 END)::BIGINT = 0
+FROM lineitem l LEFT JOIN ps ON l.l_suppkey = ps.s_suppkey
 UNION ALL
-SELECT 'orders.o_custkey->customer', count(*),
-       SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END),
-       SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) = 0
-FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+SELECT 'orders.o_custkey->customer', count(*)::BIGINT,
+       SUM(CASE WHEN pc.c_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT,
+       SUM(CASE WHEN pc.c_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT = 0
+FROM orders o LEFT JOIN pc ON o.o_custkey = pc.c_custkey
 UNION ALL
-SELECT 'customer.c_nationkey->nation', count(*),
-       SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END),
-       SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) = 0
-FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+SELECT 'customer.c_nationkey->nation', count(*)::BIGINT,
+       SUM(CASE WHEN pn.n_nationkey IS NULL THEN 1 ELSE 0 END)::BIGINT,
+       SUM(CASE WHEN pn.n_nationkey IS NULL THEN 1 ELSE 0 END)::BIGINT = 0
+FROM customer c LEFT JOIN pn ON c.c_nationkey = pn.n_nationkey
 UNION ALL
-SELECT 'nation.n_regionkey->region', count(*),
-       SUM(CASE WHEN r.r_regionkey IS NULL THEN 1 ELSE 0 END),
-       SUM(CASE WHEN r.r_regionkey IS NULL THEN 1 ELSE 0 END) = 0
-FROM nation n LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+SELECT 'nation.n_regionkey->region', count(*)::BIGINT,
+       SUM(CASE WHEN pr.r_regionkey IS NULL THEN 1 ELSE 0 END)::BIGINT,
+       SUM(CASE WHEN pr.r_regionkey IS NULL THEN 1 ELSE 0 END)::BIGINT = 0
+FROM nation n LEFT JOIN pr ON n.n_regionkey = pr.r_regionkey
 """
 
 

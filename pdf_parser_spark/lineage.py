@@ -197,41 +197,8 @@ def run_with_lineage(
     # write plans nothing.
     prev_cp = spark.conf.get("spark.sql.constraintPropagation.enabled", None)
     spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
-    try:
-        slim.select(
-            "doc_id", F.col("eff_vendor").alias("vendor"), "file_hash", "bucket"
-        ).write.partitionBy("bucket").mode("overwrite").parquet(
-            os.path.join(root, "doc_meta")
-        )
-        _dbg("doc_meta write done")
 
-        # Exactly-once is preserved with doc_meta leading: a crash after
-        # this write but before a bucket's lineage row leaves the bucket
-        # un-lineaged, so the next resume ignores its doc_meta rows (the
-        # known-hash anti-set filters to COMPLETED buckets only) and the
-        # dynamic overwrite rewrites them.
-        winners = (
-            spark.read.parquet(os.path.join(root, "doc_meta"))
-            .where(F.col("bucket").isin(ran))
-            .select("doc_id", F.col("vendor").alias("eff_vendor"), "file_hash")
-        )
-        out = run_pipeline(spark, docs, track=cached, winners=winners)
-        to_write = {
-            name: out[name].withColumn(
-                "bucket", _bucket(F.col("doc_id"), n_buckets)
-            )
-            for name in ("extracted_spans", "extracted", "doc_stats")
-        }
-        # Still inside the exclusion scope: the kernel-pipeline writes'
-        # plans carry the resume anti-join under the page-assembly
-        # filters, the same pushdown-inlining hazard at smaller exponent.
-        for name, df in to_write.items():
-            _dbg(f"write {name} start")
-            df.write.partitionBy("bucket").mode("overwrite").parquet(
-                os.path.join(root, name)
-            )
-            _dbg(f"write {name} done")
-    finally:
+    def _restore_optimizer_confs():
         if prev_excluded is None:
             spark.conf.unset("spark.sql.optimizer.excludedRules")
         else:
@@ -240,6 +207,51 @@ def run_with_lineage(
             spark.conf.unset("spark.sql.constraintPropagation.enabled")
         else:
             spark.conf.set("spark.sql.constraintPropagation.enabled", prev_cp)
+
+    # The exclusion scope covers EXACTLY the doc_meta write — the only
+    # plan that carries the raw admission DAG. Everything after it
+    # (winners parquet read, kernel-pipeline writes) runs with the full
+    # optimizer, so parquet predicate pushdown + partition pruning stay
+    # live for the bucket filters on file relations — at 100 TB the
+    # winners read below prunes to the ran-bucket partitions only
+    # because PushDownPredicates is back. The kernel writes' plans do
+    # carry the resume anti-join under the page-assembly filters, but
+    # without the routing projections underneath it the pushdown is
+    # linear, not multiplicative (measured: lineage suite 96.5 s both
+    # ways, sf0.01 job wall unchanged).
+    try:
+        slim.select(
+            "doc_id", F.col("eff_vendor").alias("vendor"), "file_hash", "bucket"
+        ).write.partitionBy("bucket").mode("overwrite").parquet(
+            os.path.join(root, "doc_meta")
+        )
+        _dbg("doc_meta write done")
+    finally:
+        _restore_optimizer_confs()
+
+    # Exactly-once is preserved with doc_meta leading: a crash after
+    # this write but before a bucket's lineage row leaves the bucket
+    # un-lineaged, so the next resume ignores its doc_meta rows (the
+    # known-hash anti-set filters to COMPLETED buckets only) and the
+    # dynamic overwrite rewrites them.
+    winners = (
+        spark.read.parquet(os.path.join(root, "doc_meta"))
+        .where(F.col("bucket").isin(ran))
+        .select("doc_id", F.col("vendor").alias("eff_vendor"), "file_hash")
+    )
+    out = run_pipeline(spark, docs, track=cached, winners=winners)
+    to_write = {
+        name: out[name].withColumn(
+            "bucket", _bucket(F.col("doc_id"), n_buckets)
+        )
+        for name in ("extracted_spans", "extracted", "doc_stats")
+    }
+    for name, df in to_write.items():
+        _dbg(f"write {name} start")
+        df.write.partitionBy("bucket").mode("overwrite").parquet(
+            os.path.join(root, name)
+        )
+        _dbg(f"write {name} done")
 
     # Metrics per bucket from the materialized outputs (reads parquet back —
     # cheap, and guarantees metrics describe what was actually written).

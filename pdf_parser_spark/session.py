@@ -69,9 +69,17 @@ def get_spark(
     # Ad-hoc conf overrides for experiments and cluster-shaped tuning:
     # SPARK_GRAFT_EXTRA_CONF="k=v;k=v" (used by the scaling bench to A/B
     # bandwidth-vs-CPU trades like the shuffle codec without code edits).
+    # Values may not contain ';' (the entry separator); a token without
+    # '=' is a malformed entry and raises rather than silently becoming
+    # an empty-valued conf key.
     extra = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
-    for kv in filter(None, extra.split(";")):
-        k, _, v = kv.partition("=")
+    for kv in filter(None, (t.strip() for t in extra.split(";"))):
+        k, sep, v = kv.partition("=")
+        if not sep or not k.strip():
+            raise ValueError(
+                f"SPARK_GRAFT_EXTRA_CONF entry {kv!r} is not k=v "
+                "(values must not contain ';')"
+            )
         builder = builder.config(k.strip(), v.strip())
     if executor_mem:
         builder = builder.config("spark.executor.memory", f"{executor_mem}m")

@@ -56,7 +56,6 @@ def test_global_shuffle_repartition_invariant(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
 
     reshuffled = docs.repartition(13, "source")
-    reshuffled.createOrReplaceTempView("_gs_docs")
     import pdf_parser_spark.curation as c
 
     # same operator body over the reshuffled frame
