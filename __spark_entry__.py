@@ -61,27 +61,74 @@ def entry(spark: SparkSession) -> DataFrame:
 # additions that would otherwise land past the driver's 50-row cap no
 # matter how many names the tail absorbs, because queries() builds
 # module-by-module and analytics is last.
+# Round-4 rotation (verdict task 4): the driver records the FIRST ~50
+# queries() entries each round, so _FRONT holds exactly 50 names — the 3
+# round-3 driver hash-fails (dtype-hardened this round; MUST re-verify)
+# plus 47 names that have never had a driver row, oldest suites first
+# (ir, sketches, graph, snapshot, bpe, timeseries, the r2-era quality
+# family, then the analytics tail). 23 never-verified names remain for
+# the round-5 rotation (ledger: COVERAGE.md §driver-verification);
+# every displaced name stays green in the in-repo supplement.
 _FRONT = [
+    # dtype-hardened round-3 driver fails — re-verify first
     "volume_shipping",
     "returned_top_customers",
-    # Round-3 selection.py suite: newest, not yet driver-verified.
-    "edit_distance_dedup",
-    "skyline_docs",
-    "grouped_ols",
-    "ttl_dedup_events",
-    "chi2_lang_source",
-    "rrf_fusion",
-    "ewma_smooth",
-    "benford_audit",
-    "winsorized_stats",
-    # Round-3 curation.py suite: newest, not yet driver-verified.
-    "global_shuffle",
-    "incremental_minhash_pairs",
-    "score_calibration",
-    "compact_small_files",
-    "small_lot_revenue",
-    "top_supplier_revenue",
-    "market_share",
+    "referential_integrity",
+    # ir.py suite (round 3, never driver-verified)
+    "inverted_index",
+    "bm25_search",
+    "fuzzy_token_join",
+    "top_docs_per_source",
+    "tfidf_top_terms",
+    # sketches.py suite
+    "hll_distinct",
+    "hll_window_distinct",
+    "cms_heavy_hitters",
+    "bloom_dedup",
+    "hist_quantiles",
+    "bitmap_distinct_window",
+    "minhash_jaccard_est",
+    # graph.py suite
+    "pagerank_hosts",
+    "triangle_count",
+    "host_shortest_paths",
+    # snapshot.py
+    "snapshot_diff",
+    # bpe.py suite
+    "bpe_train",
+    "bpe_encode",
+    "bpe_token_count",
+    # timeseries.py tail
+    "asof_join_events",
+    "rollup_revenue",
+    "group_median_exact",
+    "sliding_window_activity",
+    "cohort_retention",
+    "funnel_conversion",
+    "cusum_changepoint",
+    "seasonality_grid",
+    # r2-era quality family
+    "gopher_quality",
+    "gopher_line_rules",
+    "gopher_repetition",
+    "quality_funnel",
+    "paragraph_dedup",
+    "near_dup_components",
+    "pack_sequences",
+    "stratified_sample",
+    "dup_ngram_fraction",
+    "pii_redact",
+    "boilerplate_main_text",
+    "session_window_builtin",
+    "salted_join",
+    # analytics/datapipe tail
+    "kmeans_embeddings",
+    "media_phash_dedup",
+    "pivot_revenue_years",
+    "large_volume_orders",
+    "dormant_customers",
+    "priority_return_rate",
+    "semdedup_keep",
 ]
 
 _OVERFLOW_TAIL = [

@@ -1706,12 +1706,37 @@ def q_kmeans_embeddings(spark, sf_dir):
     a constant. This is exactly how the IVF coarse quantizer and the
     SemDedup cluster map get trained at 100 TB before those operators'
     assign/probe stages run."""
+    return _kmeans_assignments(spark, sf_dir, exact=True)
+
+
+def q_kmeans_embeddings_float(spark, sf_dir):
+    """Production-path twin of ``q_kmeans_embeddings``: identical plan
+    shape (broadcast K·D centroid joins, map-side partial dots, vector
+    payloads never shuffle) with PLAIN DOUBLE aggregation instead of the
+    DECIMAL(38,18)-cast sums. The decimal casts exist only to make the
+    iterative algorithm's float accumulation order-independent so a
+    cross-engine value-hash oracle can replay it — a correctness-harness
+    tax, not an algorithmic need. At 100 TB this is the variant to run.
+
+    Evidence (driver: rows-only; the float path is genuinely not
+    DuckDB-replayable bit-exactly): ``test_kmeans.py`` pins ≥99% row
+    agreement of (vec_id → cluster) against the oracle-exact path and
+    the exact path itself stays hash-green; BENCH records both."""
+    return _kmeans_assignments(spark, sf_dir, exact=False)
+
+
+def _kmeans_assignments(spark, sf_dir, exact: bool):
     emb = _t(spark, sf_dir, "embeddings")
     ex = emb.select("vec_id", F.posexplode("embedding").alias("i", "v")).select(
         "vec_id", "i", F.col("v").cast("double").alias("v")
     )
-    # order-independent exact sum: per-term product → DECIMAL(38,18) → SUM
-    dsum = lambda prod: F.sum(prod.cast("decimal(38,18)")).cast("double")
+    if exact:
+        # order-independent exact sum: per-term product → DECIMAL(38,18) → SUM
+        dsum = lambda prod: F.sum(prod.cast("decimal(38,18)")).cast("double")
+        msum = lambda col: F.sum(col.cast("decimal(27,9)")).cast("double")
+    else:
+        dsum = F.sum
+        msum = F.sum
     vnorm = ex.groupBy("vec_id").agg(
         F.sqrt(dsum(F.col("v") * F.col("v"))).alias("norm")
     )
@@ -1755,11 +1780,7 @@ def q_kmeans_embeddings(spark, sf_dir):
             a.join(ex, "vec_id")
             .groupBy(F.col("cluster").alias("cid"), F.col("i").alias("ci"))
             .agg(
-                F.round(
-                    F.sum(F.col("v").cast("decimal(27,9)")).cast("double")
-                    / F.count(F.lit(1)),
-                    6,
-                ).alias("mv")
+                F.round(msum(F.col("v")) / F.count(F.lit(1)), 6).alias("mv")
             )
         )
         cent = cent.join(means, ["cid", "ci"], "left").select(
@@ -2533,6 +2554,10 @@ ANALYTIC_QUERIES: dict[str, tuple] = {
     "embedding_ivf_knn": (q_embedding_ivf_knn, SQL_EMBEDDING_IVF_KNN),
     "semdedup_keep": (q_semdedup_keep, SQL_SEMDEDUP_KEEP),
     "kmeans_embeddings": (q_kmeans_embeddings, SQL_KMEANS_EMBEDDINGS),
+    # Production float path: rows-only driver check (float accumulation is
+    # not cross-engine hash-replayable by design); agreement bound vs the
+    # exact path pinned in test_kmeans.py.
+    "kmeans_embeddings_float": (q_kmeans_embeddings_float, None),
     # Lazy (callable) oracle: building the SQL materializes the span corpus
     # + expected outputs, which must NOT happen at import time. The driver
     # contract resolves callables with the harness's correctness sf.

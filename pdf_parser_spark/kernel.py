@@ -33,7 +33,15 @@ depends on them (SURVEY.md §7 "reference defects"):
 from __future__ import annotations
 
 import hashlib
+import os
 import re
+
+# Benchmark-attribution knob (scripts/profile_features.py): disables O6
+# orientation correction on the OCR path so its cost can be measured in
+# isolation. Read once per worker at module import — set it BEFORE the
+# SparkSession starts so executors inherit it. Never set in production
+# or tests: with it on, span outputs diverge from the reference oracle.
+_AB_NO_ORIENTATION = bool(os.environ.get("SPARK_GRAFT_AB_NO_ORIENTATION"))
 
 FIELD_KEYS = ("PLATE_NO", "HEAT_NO", "TEST_CERT_NO")
 
@@ -322,6 +330,37 @@ def _alnum_mask(arr):
             if chr(int(cp)).isalnum():
                 m |= arr == cp
     return m
+
+
+_OCR_ENGINE = None
+
+
+def resolve_ocr_engine():
+    """OCR-engine injection seam (sandbox has no tesseract/PIL): returns
+    the callable ``(media_texts: list[str]) -> str`` the extraction
+    kernel uses on the OCR path. Default is :func:`best_ocr_text` (the
+    deterministic best-of-grid sim replaying ocr_helper.py:144-226).
+    Swap in a real engine WITHOUT an engine-code edit by setting
+    ``SPARK_GRAFT_OCR_ENGINE="my_module:my_callable"`` before the
+    SparkSession starts — each Python worker re-imports this module and
+    resolves the spec itself, so the injected engine survives the
+    worker boundary that a driver-side monkeypatch would not. Resolved
+    once per process and cached."""
+    global _OCR_ENGINE
+    if _OCR_ENGINE is None:
+        spec = os.environ.get("SPARK_GRAFT_OCR_ENGINE", "")
+        if spec:
+            import importlib
+
+            mod, sep, attr = spec.partition(":")
+            if not sep:
+                raise ValueError(
+                    f"SPARK_GRAFT_OCR_ENGINE={spec!r} is not 'module:callable'"
+                )
+            _OCR_ENGINE = getattr(importlib.import_module(mod), attr)
+        else:
+            _OCR_ENGINE = best_ocr_text
+    return _OCR_ENGINE
 
 
 def best_ocr_text(media_texts: list[str]) -> str:
@@ -674,6 +713,7 @@ def extract_page_entries(
     text_layer_raw: str,
     media_texts: list[str],
     page_geom: str = "",
+    ocr_engine=None,
 ) -> tuple[list[dict], bool]:
     """One page of extract_pdf_fields (extractor.py:162-195), preceded by
     the O6 orientation correction on the OCR path (the reference runs
@@ -698,11 +738,16 @@ def extract_page_entries(
         if not entries:
             text = normalize_text(text_layer_raw)
             if not text or len(text.strip()) < 50:
-                w, h = parse_geom(page_geom)
-                rotation, _conf, _tm, _pm = classify_orientation(text_layer_raw, w, h)
-                if rotation != 0:
-                    media_texts = [rotate_text(m, rotation) for m in media_texts]
-                text = best_ocr_text(media_texts)
+                if not _AB_NO_ORIENTATION:
+                    w, h = parse_geom(page_geom)
+                    rotation, _conf, _tm, _pm = classify_orientation(
+                        text_layer_raw, w, h
+                    )
+                    if rotation != 0:
+                        media_texts = [
+                            rotate_text(m, rotation) for m in media_texts
+                        ]
+                text = (ocr_engine or resolve_ocr_engine())(media_texts)
                 used_ocr = True
             if text:
                 entries = extract_patterns(text, cfg)

@@ -92,13 +92,22 @@ def _decode_header(payload: bytes) -> tuple[int, int, int] | None:
     return w, h, n
 
 
-def decode_media(media: DataFrame, partitions: int | None = None) -> DataFrame:
+def decode_media(
+    media: DataFrame, partitions: int | None = None, decoder=None
+) -> DataFrame:
     """Decode pass: payload → (width, height, n_frames, ok). Arrow-batched;
-    repartitioned by media_ref hash so payload bytes balance across tasks."""
+    repartitioned by media_ref hash so payload bytes balance across tasks.
+
+    ``decoder`` is the codec injection seam: any callable
+    ``(payload: bytes) -> (width, height, n_frames) | None`` — e.g. a
+    PIL/cv2-backed implementation in production — slots in with no
+    engine-code edit (the closure below captures it and cloudpickle
+    ships it to the workers). Default: the deterministic header sim."""
+    decoder = decoder or _decode_header
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            decoded = [_decode_header(p) for p in pdf["payload"]]
+            decoded = [decoder(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_ref": pdf["media_ref"],
@@ -113,12 +122,13 @@ def decode_media(media: DataFrame, partitions: int | None = None) -> DataFrame:
     return src.select("media_ref", "payload").mapInPandas(decode, DECODED_SCHEMA)
 
 
-def sample_frames(media: DataFrame, every: int = 10) -> DataFrame:
+def sample_frames(media: DataFrame, every: int = 10, decoder=None) -> DataFrame:
     """Frame sampling for video payloads: every ``every``-th frame index
     (always including frame 0) → one row per sampled frame. The explode is
     JVM-side (sequence + explode) over the decoded frame count — only the
-    decode itself crosses into Python."""
-    decoded = decode_media(media)
+    decode itself crosses into Python. ``decoder`` as in
+    :func:`decode_media`."""
+    decoded = decode_media(media, decoder=decoder)
     vids = decoded.where(F.col("ok") & (F.col("n_frames") > 1))
     idx = F.explode(
         F.filter(
@@ -138,7 +148,15 @@ PHASH_BANDS = 4  # 4 bands x 16 bits — the LAION-style banding for Hamming ANN
 PHASH_SCHEMA = "media_ref string, b0 int, b1 int, b2 int, b3 int"
 
 
-def phash_media(media: DataFrame) -> DataFrame:
+def _stride_bits(payload: bytes):
+    """Default pHash bit source: sign bits of strided body bytes."""
+    body = np.frombuffer(payload[HEADER_SIZE:], dtype=np.uint8)
+    stride = max(1, body.size // PHASH_BITS)
+    bits = (body[::stride][:PHASH_BITS] > 127).astype(np.int64)
+    return np.pad(bits, (0, PHASH_BITS - bits.size))
+
+
+def phash_media(media: DataFrame, hasher=None) -> DataFrame:
     """Perceptual-hash stub over the binary payload: 64 sign bits of
     strided body bytes (stands in for the DCT-sign pHash; the Arrow batch
     path, the bit packing, and the banding downstream are the real
@@ -146,18 +164,17 @@ def phash_media(media: DataFrame) -> DataFrame:
     form the Hamming-LSH join consumes — so no engine ever assembles a
     signed 64-bit value (bit 63 would wrap differently across engines).
 
-    Real deployment: replace the byte-stride threshold with
-    imagehash.phash / a DCT over the decoded frame; the schema and every
-    operator after this stage are unchanged."""
+    Real deployment: pass ``hasher`` — any callable
+    ``(payload: bytes) -> 64 0/1 ints`` (e.g. imagehash.phash bits over
+    the decoded frame); the schema and every operator after this stage
+    are unchanged. Default: the byte-stride threshold sim."""
+    hasher = hasher or _stride_bits
 
     def ph(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             bands: list[list[int]] = [[] for _ in range(PHASH_BANDS)]
             for p in pdf["payload"]:
-                body = np.frombuffer(p[HEADER_SIZE:], dtype=np.uint8)
-                stride = max(1, body.size // PHASH_BITS)
-                bits = (body[:: stride][:PHASH_BITS] > 127).astype(np.int64)
-                bits = np.pad(bits, (0, PHASH_BITS - bits.size))
+                bits = np.asarray(hasher(p), dtype=np.int64)
                 per = PHASH_BITS // PHASH_BANDS
                 for b in range(PHASH_BANDS):
                     chunk = bits[b * per : (b + 1) * per]
@@ -172,22 +189,27 @@ def phash_media(media: DataFrame) -> DataFrame:
     return media.select("media_ref", "payload").mapInPandas(ph, PHASH_SCHEMA)
 
 
-def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
+def _stride_features(payload: bytes, dim: int) -> list[float]:
+    """Default featurizer: mean of byte-value strides."""
+    body = np.frombuffer(payload[HEADER_SIZE:], dtype=np.uint8)
+    if body.size == 0:
+        return [0.0] * dim
+    chunks = np.array_split(body.astype(np.float32), dim)
+    # chunk means are exact in fp32 (sum < 2^13, /2^5) — no rounding
+    return [float(c.mean()) if c.size else 0.0 for c in chunks]
+
+
+def extract_features(media: DataFrame, dim: int = 8, featurizer=None) -> DataFrame:
     """Feature extraction stub: a deterministic ``dim``-float vector from
     payload bytes (mean of byte-value strides — stands in for a CNN/CLIP
-    forward pass; batch shape and Arrow transfer are the real thing)."""
+    forward pass; batch shape and Arrow transfer are the real thing).
+    ``featurizer``: any ``(payload: bytes, dim: int) -> list[float]`` —
+    the model-inference drop-in point."""
+    featurizer = featurizer or _stride_features
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for p in pdf["payload"]:
-                body = np.frombuffer(p[HEADER_SIZE:], dtype=np.uint8)
-                if body.size == 0:
-                    out.append([0.0] * dim)
-                    continue
-                chunks = np.array_split(body.astype(np.float32), dim)
-                # chunk means are exact in fp32 (sum < 2^13, /2^5) — no rounding
-                out.append([float(c.mean()) if c.size else 0.0 for c in chunks])
+            out = [featurizer(p, dim) for p in pdf["payload"]]
             yield pd.DataFrame({"media_ref": pdf["media_ref"], "feature": out})
 
     return media.select("media_ref", "payload").mapInPandas(feats, FEATURES_SCHEMA)

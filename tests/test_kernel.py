@@ -215,3 +215,41 @@ def test_best_ocr_text_equals_grid_spec():
     for i in range(0, len(samples), 2):
         texts = samples[i : i + 2]
         assert kernel.best_ocr_text(texts) == spec_best(texts), texts
+
+
+def test_ocr_engine_injection_seam(monkeypatch):
+    """Round-3 verdict task 7: a real OCR engine must drop into the
+    kernel without an engine-code edit — (a) by parameter, (b) by the
+    SPARK_GRAFT_OCR_ENGINE='module:callable' spec each Python worker
+    resolves at first use. The fake engine returns a fixed high-quality
+    page so its output is distinguishable from the best-of-grid sim."""
+    good = "POSCO INTERNATIONAL\nCertificate No. 241205-FP01KS-0001A1-0002\n34.8x200x4x1451 PP60596702 2 20.812 SU30882 KOR"
+
+    def fake_engine(media_texts):
+        return good
+
+    # (a) parameter injection: garbage candidates, yet the fake engine's
+    # text is extracted — proof the injected callable ran.
+    entries, used = kernel.extract_page_entries(
+        VENDOR_CONFIGS["posco"], [], "tiny", ["###@@@!!!"], ocr_engine=fake_engine
+    )
+    assert used is True and entries[0]["PLATE_NO"] == "PP60596702"
+
+    # (b) env-spec resolution (the worker-side path): point the spec at a
+    # real module attribute and check the resolver returns exactly it.
+    monkeypatch.setattr(kernel, "_OCR_ENGINE", None)
+    monkeypatch.setenv(
+        "SPARK_GRAFT_OCR_ENGINE", "pdf_parser_spark.kernel:best_ocr_text"
+    )
+    assert kernel.resolve_ocr_engine() is kernel.best_ocr_text
+    # malformed spec fails loudly, not silently
+    monkeypatch.setattr(kernel, "_OCR_ENGINE", None)
+    monkeypatch.setenv("SPARK_GRAFT_OCR_ENGINE", "not-a-spec")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        kernel.resolve_ocr_engine()
+    # restore the default for the rest of the session
+    monkeypatch.setattr(kernel, "_OCR_ENGINE", None)
+    monkeypatch.delenv("SPARK_GRAFT_OCR_ENGINE")
+    assert kernel.resolve_ocr_engine() is kernel.best_ocr_text

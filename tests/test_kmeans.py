@@ -92,3 +92,19 @@ def test_kmeans_empty_cluster_carry(spark, tmp_path):
     assert 5 not in set(out["cluster"])
     dup = out.set_index("vec_id")
     assert dup.loc[5, "cluster"] == dup.loc[0, "cluster"] == 0
+
+
+def test_kmeans_float_production_path_agrees(spark):
+    """The float production twin must land ≥99% of vectors in the same
+    cluster as the DECIMAL-exact hash-checked path (the paths differ
+    only in accumulation arithmetic, so disagreement is confined to
+    vectors whose top-2 cosines tie within rounding noise), and must
+    cover every vector exactly once."""
+    exact_fn, _ = ANALYTIC_QUERIES["kmeans_embeddings"]
+    float_fn, float_sql = ANALYTIC_QUERIES["kmeans_embeddings_float"]
+    assert float_sql is None  # rows-only by design: float accumulation
+    exact = exact_fn(spark, SF_DIR).toPandas().set_index("vec_id")
+    prod = float_fn(spark, SF_DIR).toPandas().set_index("vec_id")
+    assert sorted(prod.index) == sorted(exact.index)
+    agree = (prod["cluster"].sort_index() == exact["cluster"].sort_index()).mean()
+    assert agree >= 0.99, f"float/exact assignment agreement {agree:.4f} < 0.99"

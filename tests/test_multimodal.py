@@ -129,3 +129,56 @@ def test_media_phash_dedup_guard_and_verify(spark, tmp_path):
     got_cool = out[out["da"].isin(cool) & out["db"].isin(cool)]
     assert len(got_cool) == 3  # C(3,2) pairs, all hamming 0
     assert (got_cool["hamming"] == 0).all()
+
+
+# --- codec injection-seam contract (round-3 verdict task 7) ----------------
+# A fake "real" codec — deliberately DIFFERENT from the deterministic sims
+# so the assertions prove the injected callables actually ran on the
+# workers — must slot into the same pipeline with zero engine-code edits.
+# The fakes are defined INSIDE each test: cloudpickle serializes locals
+# by value, while a module-level function in a test file would pickle by
+# reference to a module the workers cannot import.
+
+
+def _make_fake_decoder():
+    decode_header = M._decode_header
+
+    def fake_real_decoder(payload):
+        """Stands in for a PIL/cv2 decode: shifted dims, half the frames."""
+        d = decode_header(payload)
+        if d is None:
+            return None
+        w, h, n = d
+        return (w + 1000, h + 1000, max(1, n // 2))
+
+    return fake_real_decoder
+
+
+def test_codec_dropin_decode(media):
+    out = M.decode_media(media, decoder=_make_fake_decoder()).toPandas()
+    sim = M.decode_media(media).toPandas()
+    assert list(out.columns) == list(sim.columns)
+    ok = out[out["ok"]]
+    assert len(ok) == len(sim[sim["ok"]]) and (ok["width"] >= 1000).all()
+
+
+def test_codec_dropin_frame_sampling(media):
+    # frame counts halve under the fake codec => sampled rows shrink
+    sim = M.sample_frames(media).count()
+    fake = M.sample_frames(media, decoder=_make_fake_decoder()).count()
+    assert 0 < fake < sim
+
+
+def test_codec_dropin_phash_and_features(media):
+    n_bits = M.PHASH_BITS
+
+    def fake_real_hasher(payload):
+        return [1] * n_bits  # all-ones hash: b0..b3 == 0xFFFF
+
+    def fake_real_featurizer(payload, dim):
+        return [42.0] * dim
+
+    ph = M.phash_media(media, hasher=fake_real_hasher).toPandas()
+    assert (ph[["b0", "b1", "b2", "b3"]] == 0xFFFF).all().all()
+    ft = M.extract_features(media, featurizer=fake_real_featurizer).toPandas()
+    assert all(all(v == 42.0 for v in vec) for vec in ft["feature"])
