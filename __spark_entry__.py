@@ -31,6 +31,7 @@ from pdf_parser_spark.selection import SELECTION_QUERIES
 from pdf_parser_spark.snapshot import SNAPSHOT_QUERIES
 from pdf_parser_spark.timeseries import TIMESERIES_QUERIES
 from pdf_parser_spark.urlops import URL_QUERIES
+from pdf_parser_spark.webcorpus import WEBCORPUS_QUERIES
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -317,6 +318,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out[name] = fn
     for name, (fn, _sql) in ANALYTIC_QUERIES.items():
         out[name] = fn
+    for name, (fn, _sql) in WEBCORPUS_QUERIES.items():
+        out[name] = fn
     tail = [n for n in _OVERFLOW_TAIL if n in out]
     front = [n for n in _FRONT if n in out]
     moved = set(tail) | set(front)
@@ -360,5 +363,7 @@ def oracle_sql() -> dict[str, str]:
     for name, (_fn, sql) in SELECTION_QUERIES.items():
         out[name] = sql if isinstance(sql, str) else sql(correctness_sf)
     for name, (_fn, sql) in CURATION_QUERIES.items():
+        out[name] = sql if isinstance(sql, str) else sql(correctness_sf)
+    for name, (_fn, sql) in WEBCORPUS_QUERIES.items():
         out[name] = sql if isinstance(sql, str) else sql(correctness_sf)
     return out

@@ -170,6 +170,10 @@ def main() -> None:
 
     all_queries.update(BPE_QUERIES)
 
+    from pdf_parser_spark.webcorpus import WEBCORPUS_QUERIES
+
+    all_queries.update(WEBCORPUS_QUERIES)
+
     from pdf_parser_spark.timeseries import TIMESERIES_QUERIES
     from pdf_parser_spark.ir import IR_QUERIES
     from pdf_parser_spark.layout import LAYOUT_QUERIES
