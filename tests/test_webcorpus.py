@@ -119,3 +119,37 @@ def test_sentence_stats_hand_checked(spark, tmp_path):
     total = len("One") + len("Two two") + len("Three three three")
     assert a["mean_sent_chars_e2"] == total * 100 // 3
     assert got["sB"]["n_sentences"] == 1 and got["sB"]["max_sent_chars"] == 4
+
+
+# --- plan + cap guards ------------------------------------------------------
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_kn_bigram_plan_has_no_positional_self_join(spark):
+    """The bigram frame must be built row-locally (zip of shifted array
+    slices): the only joins in the plan are the two continuation-count
+    attach joins AFTER aggregation — a positional self-join before the
+    first aggregate would shuffle the token stream twice at corpus
+    scale."""
+    p = _plan(W.q_kn_bigram_counts(spark, SF_DIR))
+    n_joins = p.count("Join")
+    assert n_joins <= 4, f"expected the 2 continuation joins (SMJ/BHJ), got:\n{p}"
+    gen_pos = p.find("Generate")
+    assert gen_pos != -1
+    # every Join operator sits ABOVE the explode in the plan string
+    # (executed plans print top-down: parents first)
+    assert p.rfind("Join") < gen_pos or n_joins == 0
+
+
+def test_containment_hot_token_cap_binds(spark, tmp_path):
+    """A token shared by MORE than RARE_DF_CAP docs must generate no
+    candidate pairs through that token (the hot-token guard is what
+    bounds pair work at corpus scale). Docs share only the hot token →
+    zero output pairs."""
+    hot = W.RARE_DF_CAP + 5
+    rows = [(f"common uniq{i}a uniq{i}b", "s") for i in range(hot)]
+    out = W.q_doc_containment(spark, _docs_dir(spark, tmp_path, rows)).collect()
+    assert out == [], f"hot-token pairs leaked past the cap: {out[:5]}"
