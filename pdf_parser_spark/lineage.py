@@ -50,6 +50,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import sink
 from .extraction import run_pipeline
 from .extraction.pipeline import _routed_ranked
 
@@ -75,12 +76,10 @@ def completed_buckets(spark: SparkSession, root: str) -> set[int]:
     """Buckets already finished by any prior run (the resume anti-set).
     The lineage table is tiny (one row per bucket per run) — driver collect
     is O(n_buckets), never O(data)."""
-    path = lineage_path(root)
-    if not os.path.exists(path):
+    if not sink.exists(spark, root, "lineage"):
         return set()
     rows = (
-        spark.read.schema(_LINEAGE_SCHEMA)
-        .parquet(path)
+        sink.read(spark, root, "lineage", schema=_LINEAGE_SCHEMA)
         .where(F.col("status") == "COMPLETED")
         .select("bucket")
         .distinct()
@@ -123,7 +122,7 @@ def run_with_lineage(
     done = completed_buckets(spark, root)
     if done:
         known_hashes = (
-            spark.read.parquet(os.path.join(root, "doc_meta"))
+            sink.read(spark, root, "doc_meta")
             .where(F.col("bucket").isin(list(done)))
             .select("file_hash")
         )
@@ -220,10 +219,16 @@ def run_with_lineage(
     # linear, not multiplicative (measured: lineage suite 96.5 s both
     # ways, sf0.01 job wall unchanged).
     try:
-        slim.select(
-            "doc_id", F.col("eff_vendor").alias("vendor"), "file_hash", "bucket"
-        ).write.partitionBy("bucket").mode("overwrite").parquet(
-            os.path.join(root, "doc_meta")
+        sink.write_partitioned(
+            slim.select(
+                "doc_id",
+                F.col("eff_vendor").alias("vendor"),
+                "file_hash",
+                "bucket",
+            ),
+            root,
+            "doc_meta",
+            "bucket",
         )
         _dbg("doc_meta write done")
     finally:
@@ -235,7 +240,7 @@ def run_with_lineage(
     # known-hash anti-set filters to COMPLETED buckets only) and the
     # dynamic overwrite rewrites them.
     winners = (
-        spark.read.parquet(os.path.join(root, "doc_meta"))
+        sink.read(spark, root, "doc_meta")
         .where(F.col("bucket").isin(ran))
         .select("doc_id", F.col("vendor").alias("eff_vendor"), "file_hash")
     )
@@ -248,16 +253,14 @@ def run_with_lineage(
     }
     for name, df in to_write.items():
         _dbg(f"write {name} start")
-        df.write.partitionBy("bucket").mode("overwrite").parquet(
-            os.path.join(root, name)
-        )
+        sink.write_partitioned(df, root, name, "bucket")
         _dbg(f"write {name} done")
 
     # Metrics per bucket from the materialized outputs (reads parquet back —
     # cheap, and guarantees metrics describe what was actually written).
     _dbg("metrics start")
-    spans = spark.read.parquet(os.path.join(root, "extracted_spans"))
-    extracted = spark.read.parquet(os.path.join(root, "extracted"))
+    spans = sink.read(spark, root, "extracted_spans")
+    extracted = sink.read(spark, root, "extracted")
     metrics = (
         spans.where(F.col("bucket").isin(ran))
         .groupBy("bucket")
@@ -276,9 +279,8 @@ def run_with_lineage(
     # Buckets that had input docs but produced zero spans still complete.
     all_ran = spark.createDataFrame([(b,) for b in ran], "bucket int")
     now = time.time()
-    (
-        all_ran.join(metrics, "bucket", "left")
-        .select(
+    sink.append(
+        all_ran.join(metrics, "bucket", "left").select(
             F.lit(job_id).alias("job_id"),
             "bucket",
             F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
@@ -286,9 +288,9 @@ def run_with_lineage(
             F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
             F.lit("COMPLETED").alias("status"),
             F.lit(now).alias("completed_ts"),
-        )
-        .write.mode("append")
-        .parquet(lineage_path(root))
+        ),
+        root,
+        "lineage",
     )
     _dbg("metrics done; unpersisting")
     # slim (most derived) first, then cached in reverse creation order —
@@ -317,4 +319,4 @@ def read_output(
         extracted = read_output(spark, root, "extracted")
         meta = read_output(spark, root, "doc_meta")
         return master_log_frame(extracted, meta, track=track)
-    return spark.read.parquet(os.path.join(root, name)).drop("bucket")
+    return sink.read(spark, root, name).drop("bucket")
