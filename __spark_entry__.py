@@ -62,186 +62,58 @@ def entry(spark: SparkSession) -> DataFrame:
 # additions that would otherwise land past the driver's 50-row cap no
 # matter how many names the tail absorbs, because queries() builds
 # module-by-module and analytics is last.
-# Round-4 rotation (verdict task 4): the driver records the FIRST ~50
-# queries() entries each round, so _FRONT holds exactly 50 names — the 3
-# round-3 driver hash-fails (dtype-hardened this round; MUST re-verify)
-# plus 47 names that have never had a driver row, oldest suites first
-# (ir, sketches, graph, snapshot, bpe, timeseries, the r2-era quality
-# family, then the analytics tail). 23 never-verified names remain for
-# the round-5 rotation (ledger: COVERAGE.md §driver-verification);
-# every displaced name stays green in the in-repo supplement.
+# Round-5 rotation (r04 verdict task 1 — close the ledger): _FRONT holds
+# exactly 50 names. First the 31 never-driver-verified registry names —
+# the 23 names queued at COVERAGE.md §driver-verification, the 6 round-4
+# webcorpus/kmeans additions (kmeans_embeddings_float's rows-only row is
+# its designed record), and the 2 round-5 additions
+# (kmeans_float_agreement, corpus_funnel_delta). After this round EVERY
+# registry name has had a driver row at least once. The remaining 19
+# slots refresh the names whose last driver row is oldest (r02): the 13
+# flagship extract_*/report_* pipeline rows plus 6 core kernel queries.
+# Every displaced name stays green in the in-repo supplement
+# (CORRECTNESS_SUPPLEMENT_r05.json).
 _FRONT = [
-    # dtype-hardened round-3 driver fails — re-verify first
-    "volume_shipping",
-    "returned_top_customers",
-    "referential_integrity",
-    # ir.py suite (round 3, never driver-verified)
-    "inverted_index",
-    "bm25_search",
-    "fuzzy_token_join",
-    "top_docs_per_source",
-    "tfidf_top_terms",
-    # sketches.py suite
-    "hll_distinct",
-    "hll_window_distinct",
-    "cms_heavy_hitters",
-    "bloom_dedup",
-    "hist_quantiles",
-    "bitmap_distinct_window",
-    "minhash_jaccard_est",
-    # graph.py suite
-    "pagerank_hosts",
-    "triangle_count",
-    "host_shortest_paths",
-    # snapshot.py
-    "snapshot_diff",
-    # bpe.py suite
-    "bpe_train",
-    "bpe_encode",
-    "bpe_token_count",
-    # timeseries.py tail
-    "asof_join_events",
-    "rollup_revenue",
-    "group_median_exact",
-    "sliding_window_activity",
-    "cohort_retention",
-    "funnel_conversion",
-    "cusum_changepoint",
-    "seasonality_grid",
-    # r2-era quality family
-    "gopher_quality",
-    "gopher_line_rules",
-    "gopher_repetition",
-    "quality_funnel",
-    "paragraph_dedup",
-    "near_dup_components",
-    "pack_sequences",
-    "stratified_sample",
-    "dup_ngram_fraction",
-    "pii_redact",
-    "boilerplate_main_text",
-    "session_window_builtin",
-    "salted_join",
-    # analytics/datapipe tail
-    "kmeans_embeddings",
-    "media_phash_dedup",
-    "pivot_revenue_years",
-    "large_volume_orders",
-    "dormant_customers",
-    "priority_return_rate",
-    "semdedup_keep",
-]
-
-_OVERFLOW_TAIL = [
-    # displaced for revenue_pareto: pivot_revenue_years is round-3,
-    # supplement-verified, with a dedicated pivot-shape pytest.
-    "pivot_revenue_years",
-    # displaced for volume_shipping / returned_top_customers /
-    # cusum_changepoint / seasonality_grid: the six below are round-3,
-    # supplement-verified, each with a dedicated semantics pytest
-    # (as-of device, rollup additivity, exact-quantile interpolation,
-    # gap-aware RANGE frame, cohort replay, funnel replay + streaming
-    # twin).
-    "asof_join_events",
-    "rollup_revenue",
-    "group_median_exact",
-    "sliding_window_activity",
-    "cohort_retention",
-    "funnel_conversion",
-    # displaced for data_quality_checks: domain_cap is round-3,
-    # supplement-verified, with its hierarchical-window plan pin.
+    # --- never driver-verified (31): round-3 backlog ---
+    "interval_overlap_join",
+    "json_props_stats",
+    "rate_anomaly",
+    "rate_trend",
+    "revenue_share",
+    "event_transitions",
+    "rfm_segments",
+    "score_auc",
+    "attribution_linear",
+    "ab_test_purchase",
+    "copurchase_pairs",
+    "revenue_pareto",
+    "token_pmi",
+    "zorder_layout",
+    "embedding_quantize",
+    "embedding_covariance",
     "domain_cap",
-    # displaced for rate_trend / revenue_share: both round-3,
-    # supplement-verified (chunk_text also has its slicing pytest;
-    # pps_sample its two-phase prefix pytest).
     "chunk_text",
     "pps_sample",
-    # displaced for psi_drift: corpus_length_stats is round-3,
-    # supplement-verified, with its histogram pytest.
     "corpus_length_stats",
-    # displaced for source_similarity / rate_anomaly: both round-3,
-    # supplement-verified, both pinned by the scan-only single-exchange
-    # plan test.
     "mojibake_repair",
     "line_dedup_in_doc",
-    # displaced for padding_waste: doc_fingerprint is r2-era,
-    # judge-verified in round 2 and supplement-re-verified.
-    "doc_fingerprint",
-    # displaced for json_props_stats / host_shortest_paths: both
-    # round-3, supplement-verified, with dedicated pytests
-    # (test_semdedup; tfidf broadcast plan pin).
-    "tfidf_top_terms",
-    "semdedup_keep",
-    # displaced for weighted_sample_es / token_pmi: both round-3,
-    # supplement-verified, each with a dedicated measured-error pytest
-    # (ann_recall's recall measurement, minhash_jaccard_est's per-pair
-    # error band).
     "ann_recall",
-    "minhash_jaccard_est",
-    # displaced for hll_window_distinct: snapshot_diff is round-3,
-    # supplement-verified, with a statuses-bind pytest and scd2_merge
-    # reconciling against it in-suite.
-    "snapshot_diff",
-    # displaced for interval_overlap_join: bloom_dedup is round-3,
-    # supplement-verified, with dedicated no-false-negative and
-    # streaming-twin pytests.
-    "bloom_dedup",
-    # displaced for outlier_mad: hll_distinct is round-3,
-    # supplement-verified, with a dedicated register-exactness pytest.
-    "hll_distinct",
-    # displaced for embedding_covariance: cms_heavy_hitters is round-3,
-    # supplement-verified, with a dedicated one-sided-error pytest.
-    "cms_heavy_hitters",
-    # displaced for cube_revenue / zorder_layout: both round-3,
-    # supplement-verified, each also pinned by a dedicated pytest
-    # (salted_join by a plan-shape pin, hist_quantiles by the sketch
-    # error-band test).
-    "salted_join",
-    "hist_quantiles",
-    # displaced for scd2_merge: session_window_builtin is round-3,
-    # supplement-verified, and additionally pinned by a dedicated
-    # boundary-semantics pytest plus its event_sessions twin (green in
-    # r1 AND r2 driver artifacts).
-    "session_window_builtin",
-    # displaced for the round-3 IR suite (inverted_index, bm25_search,
-    # fuzzy_token_join, top_docs_per_source): all four below were
-    # verified by the r2 judge's own identical-check run (VERDICT.md)
-    # and are re-verified in CORRECTNESS_SUPPLEMENT_r03.json.
-    "paragraph_dedup",
-    "bpe_token_count",
-    "near_dup_components",
-    "boilerplate_main_text",
-    # displaced for the round-3 funnel/cohort/gap-fill/pivot/triangle
-    # suite (gap_fill_interpolate, cohort_retention, funnel_conversion,
-    # pivot_revenue_years, triangle_count): the four extract_* below are
-    # green in the r2 driver artifact; pii_redact was verified by the r2
-    # judge's own identical-check run (VERDICT.md). All five re-verified
-    # in CORRECTNESS_SUPPLEMENT_r03.json.
+    # --- never driver-verified: round-4 webcorpus/kmeans additions ---
+    "kn_bigram_counts",
+    "doc_containment",
+    "l_diversity",
+    "softdedup_weights",
+    "sentence_stats",
+    "kmeans_embeddings_float",
+    # --- round-5 additions ---
+    "kmeans_float_agreement",
+    "corpus_funnel_delta",
+    # --- refresh the oldest driver rows (last seen r02): flagship
+    # pipeline span-equality family ---
     "extract_quarantine",
     "extract_vendor_routing",
     "extract_orientation",
     "extract_multilingual_scan",
-    "pii_redact",
-    # displaced for the round-3 timeseries suite (asof_join_events,
-    # rollup_revenue, group_median_exact, sliding_window_activity); all
-    # four below are green in BOTH CORRECTNESS_r01/r02 and re-verified in
-    # the round-3 supplement.
-    "boilerplate_blocks",
-    "pdf_ingest_filter",
-    "event_sessions",
-    "embedding_near_dup",
-    # displaced for chunk_text / pps_sample / bpe_encode; r2-era queries
-    # verified in the round-2 judge run and re-verified in the supplement.
-    "stratified_sample",
-    "pack_sequences",
-    "dup_ngram_fraction",
-    # displaced for hist_quantiles / ivm_source_counts / salted_join;
-    # r2-era, judge-verified in round 2, re-verified in the supplement.
-    "gopher_quality",
-    "gopher_line_rules",
-    "gopher_repetition",
-    # displaced for session_window_builtin; r2-era, judge-verified.
-    "quality_funnel",
     "extract_master_log",
     "extract_extracted_spans",
     "extract_extracted",
@@ -251,39 +123,70 @@ _OVERFLOW_TAIL = [
     "report_dashboard_counters",
     "report_first_value",
     "report_page_summary",
-    "exact_dedup_md5",
+    # --- core kernel queries (last seen r02) ---
     "vendor_detection",
-    "quality_score",
     "heat_correction",
-    "minhash_band_candidates",
-    "simhash",
-    "ngram_jaccard",
-    "ocr_gate_buckets",
-    "filename_sanitize",
+    "exact_dedup_md5",
+    "quality_score",
     "media_decode",
-    "embedding_ivf_knn",
-    "regex_token_extract",
-    "media_features",
-    "lang_id_ngram",
-    "media_frame_sample",
-    "embedding_knn",
-    "token_stats_by_lang",
-    "doc_fingerprint",
-    "embedding_lsh_buckets",
-    "pricing_summary",
-    "shipping_priority",
-    "revenue_by_nation",
-    "user_daily_activity",
-    "promo_revenue",
-    "recent_top_events",
-    "source_rollup",
-    "cjk_pages",
-    "layout_y_lines",
-    "layout_nearest_heat",
-    "range_join_nearest",
-    "positional_zip_join",
-    "anti_join_new_docs",
-    "unpivot_measures",
+    "filename_sanitize",
+]
+
+# Names verified by the round-4 driver window (CORRECTNESS_r04.json,
+# 50/50 green) carry the freshest driver rows in the registry, so they
+# sort LAST; everything between _FRONT and this tail keeps natural
+# (module) order and is re-verified by the in-repo supplement.
+_OVERFLOW_TAIL = [
+    "volume_shipping",
+    "returned_top_customers",
+    "referential_integrity",
+    "inverted_index",
+    "bm25_search",
+    "fuzzy_token_join",
+    "top_docs_per_source",
+    "tfidf_top_terms",
+    "hll_distinct",
+    "hll_window_distinct",
+    "cms_heavy_hitters",
+    "bloom_dedup",
+    "hist_quantiles",
+    "bitmap_distinct_window",
+    "minhash_jaccard_est",
+    "pagerank_hosts",
+    "triangle_count",
+    "host_shortest_paths",
+    "snapshot_diff",
+    "bpe_train",
+    "bpe_encode",
+    "bpe_token_count",
+    "asof_join_events",
+    "rollup_revenue",
+    "group_median_exact",
+    "sliding_window_activity",
+    "cohort_retention",
+    "funnel_conversion",
+    "cusum_changepoint",
+    "seasonality_grid",
+    "gopher_quality",
+    "gopher_line_rules",
+    "gopher_repetition",
+    "quality_funnel",
+    "paragraph_dedup",
+    "near_dup_components",
+    "pack_sequences",
+    "stratified_sample",
+    "dup_ngram_fraction",
+    "pii_redact",
+    "boilerplate_main_text",
+    "session_window_builtin",
+    "salted_join",
+    "kmeans_embeddings",
+    "media_phash_dedup",
+    "pivot_revenue_years",
+    "large_volume_orders",
+    "dormant_customers",
+    "priority_return_rate",
+    "semdedup_keep",
 ]
 
 

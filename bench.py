@@ -44,7 +44,9 @@ def _materialize(df) -> None:
 PIPELINE_OUTPUTS = ("extracted_spans", "extracted", "doc_stats")
 
 
-def bench_pipeline(spark, sf: float, cache_dir: str, runs: int = 3) -> tuple[dict, int]:
+def bench_pipeline(
+    spark, sf: float, cache_dir: str, runs: int = 3, steady: bool = True
+) -> tuple[dict, int]:
     """Time the extraction job; returns ({query: median seconds}, n_docs).
 
     ``extract_pipeline`` covers the per-document extraction job proper
@@ -79,7 +81,45 @@ def bench_pipeline(spark, sf: float, cache_dir: str, runs: int = 3) -> tuple[dic
     one_run()  # warmup
     times = sorted(one_run() for _ in range(runs))
     mid = times[len(times) // 2]
-    return {"extract_pipeline": round(mid[0], 3), "report_master_log": round(mid[1], 3)}, n_docs
+
+    # Steady-state twin (r04 verdict task 5): production runs the pipeline
+    # through run_with_lineage with the slim admission winner set already
+    # persisted (doc_meta), so the routing regexes + first-wins window are
+    # NOT part of a steady-state batch's cost. Time that deployment shape
+    # too: winners materialized OUTSIDE the timed window, per-run handles
+    # unpersisted individually (clearCache would evict the winner set and
+    # leak admission cost back in). The cold single-shot number above
+    # remains the conservative headline.
+    if not steady:
+        return {
+            "extract_pipeline": round(mid[0], 3),
+            "report_master_log": round(mid[1], 3),
+        }, n_docs
+
+    from pdf_parser_spark.extraction.pipeline import admission_meta
+
+    winners = admission_meta(docs).persist()
+    winners.count()
+
+    def one_steady() -> float:
+        track: list = []
+        t0 = time.perf_counter()
+        out = run_pipeline(spark, docs, winners=winners, track=track)
+        for name in PIPELINE_OUTPUTS:
+            _materialize(out[name])
+        dt = time.perf_counter() - t0
+        for h in reversed(track):
+            h.unpersist()
+        return dt
+
+    one_steady()  # warmup
+    steady = sorted(one_steady() for _ in range(runs))[runs // 2]
+    winners.unpersist()
+    return {
+        "extract_pipeline": round(mid[0], 3),
+        "extract_pipeline_steady": round(steady, 3),
+        "report_master_log": round(mid[1], 3),
+    }, n_docs
 
 
 def main() -> None:
@@ -107,7 +147,13 @@ def main() -> None:
 
     if wanted is None or "extract_pipeline" in wanted:
         runs = int(os.environ.get("SPARK_GRAFT_RUNS", "3"))
-        pipe_times, n_docs = bench_pipeline(spark, sf, cache_dir, runs=runs)
+        pipe_times, n_docs = bench_pipeline(
+            spark,
+            sf,
+            cache_dir,
+            runs=runs,
+            steady=wanted is None or "extract_pipeline_steady" in wanted,
+        )
         queries.update(pipe_times)
 
     if wanted is None or "cjk_pages" in wanted:
@@ -205,6 +251,10 @@ def main() -> None:
     if n_docs and "extract_pipeline" in queries:
         result["docs_per_sec"] = round(n_docs / queries["extract_pipeline"], 2)
         result["n_docs"] = n_docs
+        if "extract_pipeline_steady" in queries:
+            result["docs_per_sec_steady"] = round(
+                n_docs / queries["extract_pipeline_steady"], 2
+            )
     print(json.dumps(result))
     spark.stop()
 

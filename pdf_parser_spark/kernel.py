@@ -41,7 +41,9 @@ import re
 # isolation. Read once per worker at module import — set it BEFORE the
 # SparkSession starts so executors inherit it. Never set in production
 # or tests: with it on, span outputs diverge from the reference oracle.
-_AB_NO_ORIENTATION = bool(os.environ.get("SPARK_GRAFT_AB_NO_ORIENTATION"))
+_AB_NO_ORIENTATION = os.environ.get(
+    "SPARK_GRAFT_AB_NO_ORIENTATION", ""
+).strip().lower() in {"1", "true", "yes"}
 
 FIELD_KEYS = ("PLATE_NO", "HEAT_NO", "TEST_CERT_NO")
 

@@ -25,7 +25,7 @@ def get_spark(
       - shuffle partitions default 2x cores locally; on a real cluster this
         is sized by AQE advisory partition bytes instead.
     """
-    cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "0") or os.cpu_count() or 4)
+    cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 4)
     # SPARK_GRAFT_MASTER overrides the master, e.g. "local-cluster[4,4,6144]"
     # (separate executor *processes* — the faithful stand-in for a
     # multi-executor cluster, and the mode the scaling bench uses: this

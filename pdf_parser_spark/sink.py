@@ -36,7 +36,11 @@ def catalog_ns() -> str | None:
 
 
 def table_ident(root: str, name: str) -> str:
-    tag = hashlib.md5(os.path.abspath(root).encode()).hexdigest()[:8]
+    # In catalog mode ``root`` is a LOGICAL job root: hash a pure-string
+    # normalization (normpath never consults the CWD), so a resume started
+    # from a different working directory maps to the same tables. abspath
+    # here would silently fork table identity per CWD (ADVICE r04).
+    tag = hashlib.md5(os.path.normpath(root).encode()).hexdigest()[:8]
     return f"{catalog_ns()}.{name}_{tag}"
 
 
@@ -82,7 +86,7 @@ def write_partitioned(df: DataFrame, root: str, name: str, partition_col: str) -
             prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
             try:
-                df.write.insertInto(ident, overwrite=True)
+                _aligned_to_table(df, ident).write.insertInto(ident, overwrite=True)
             finally:
                 if prev is None:
                     spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
@@ -99,6 +103,20 @@ def _is_session_catalog(ident: str) -> bool:
     return ident.startswith("spark_catalog.")
 
 
+def _aligned_to_table(df: DataFrame, ident: str) -> DataFrame:
+    """V1 ``insertInto`` matches columns POSITIONALLY (partition columns
+    stored last), so a caller whose select order drifts from the table's
+    would silently write values into the wrong columns. Reorder to the
+    target schema and fail loudly on any name mismatch (ADVICE r04)."""
+    target = df.sparkSession.table(ident).columns
+    if sorted(target) != sorted(df.columns):
+        raise ValueError(
+            f"schema mismatch writing {ident}: table has {target}, "
+            f"dataframe has {df.columns}"
+        )
+    return df.select(*target)
+
+
 def append(df: DataFrame, root: str, name: str) -> None:
     ns = catalog_ns()
     if ns:
@@ -106,7 +124,7 @@ def append(df: DataFrame, root: str, name: str) -> None:
         if not df.sparkSession.catalog.tableExists(ident):
             df.writeTo(ident).create()
         elif _is_session_catalog(ident):
-            df.write.insertInto(ident, overwrite=False)
+            _aligned_to_table(df, ident).write.insertInto(ident, overwrite=False)
         else:
             df.writeTo(ident).append()
         return

@@ -727,10 +727,164 @@ FROM counts CROSS JOIN tot
 """
 
 
+# --------------------------------------------------------------------------
+# corpus_funnel_delta — IVM-maintained funnel manifest across a snapshot roll
+# --------------------------------------------------------------------------
+
+FUNNEL_TOK_MIN = 12
+FUNNEL_TOK_MAX = 38
+FUNNEL_UNIQ_PCT = 65  # repetition rule: unique_tokens*100 >= tokens*65
+
+
+def _funnel_flags(docs: DataFrame) -> DataFrame:
+    """Per-doc funnel manifest row: content hash + token mass + the two
+    per-doc-pure stage flags (length-bounds quality rule; Gopher-shaped
+    repetition rule on the distinct-token ratio). Integer arithmetic
+    only, so both engines agree bit-for-bit."""
+    toks = F.split("text", " ")
+    n = F.size(toks).cast("long")
+    nu = F.size(F.array_distinct(toks)).cast("long")
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("h"),
+        n.alias("tok"),
+        ((n >= FUNNEL_TOK_MIN) & (n <= FUNNEL_TOK_MAX)).alias("f1"),
+        (nu * 100 >= n * FUNNEL_UNIQ_PCT).alias("f2"),
+    )
+
+
+def _funnel_contrib(df: DataFrame, sign: int) -> DataFrame:
+    s = F.lit(sign).cast("long")
+    f1 = F.col("f1")
+    f12 = F.col("f1") & F.col("f2")
+    return df.select(
+        s.alias("dn0"),
+        (s * F.col("tok")).alias("dt0"),
+        (s * f1.cast("long")).alias("dn1"),
+        (s * F.when(f1, F.col("tok")).otherwise(0)).alias("dt1"),
+        (s * f12.cast("long")).alias("dn2"),
+        (s * F.when(f12, F.col("tok")).otherwise(0)).alias("dt2"),
+    )
+
+
+def q_corpus_funnel_delta(spark, sf_dir):
+    """Incremental corpus-build funnel (VERDICT r04 task 7): maintain the
+    per-stage attrition manifest (ingest → quality_rules → repetition:
+    docs kept + tokens kept) across a snapshot roll WITHOUT recomputing
+    stage flags for the whole corpus — the weekly-refresh operator a
+    100 TB build actually runs, completing the incremental story that
+    ``ivm_source_counts`` starts for plain aggregates.
+
+    Algebra (exact because every stage flag here is a pure per-doc
+    function of text, unlike the corpus-global near-dup stage of
+    ``corpus_funnel``, whose incremental form is the separate
+    ``incremental_minhash_pairs`` probe): new_funnel = stored
+    prior_funnel + Σ_added contrib(new flags) − Σ_deleted contrib(stored
+    flags) + Σ_modified (contrib(new) − contrib(stored)). Unchanged docs
+    are filtered out on the slim (doc_id, md5) CDC join BEFORE any flag
+    computation — fresh flags are computed only for the churned new-side
+    docs via a semi-join back to text, so per-roll flag cost ∝ churn
+    (~5%/month on Common Crawl), not corpus size. The new side pays one
+    md5 scan for the content compare (in production the crawler ships
+    content digests, making even that free).
+
+    The oracle is the FULL RECOMPUTE over the new snapshot, so a
+    hash-green row proves the delta algebra exactly reconciles the
+    maintained manifest with ground truth."""
+    docs = _snaps(spark, sf_dir)
+    prior_docs = docs.filter(F.col("snap") == "prior").select("doc_id", "text")
+    new_docs = docs.filter(F.col("snap") == "new").select("doc_id", "text")
+    # stored state from the prior build: the per-doc manifest and the
+    # funnel aggregate itself (a production job READS these back; here
+    # they are derived from the prior snapshot once, standing in for the
+    # manifest table the previous roll wrote)
+    manifest = _funnel_flags(prior_docs)
+    f1 = F.col("f1")
+    f12 = F.col("f1") & F.col("f2")
+    prior_funnel = manifest.agg(
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        F.sum("tok").cast("long").alias("t0"),
+        F.sum(f1.cast("long")).cast("long").alias("n1"),
+        F.coalesce(F.sum(F.when(f1, F.col("tok"))), F.lit(0))
+        .cast("long")
+        .alias("t1"),
+        F.sum(f12.cast("long")).cast("long").alias("n2"),
+        F.coalesce(F.sum(F.when(f12, F.col("tok"))), F.lit(0))
+        .cast("long")
+        .alias("t2"),
+    )
+    # CDC on the slim frames: nothing but (doc_id, 32-byte md5) shuffles
+    new_slim = new_docs.select("doc_id", F.md5("text").alias("h_new"))
+    cdc = (
+        manifest.select("doc_id", F.col("h").alias("h_prior"))
+        .join(new_slim, "doc_id", "full_outer")
+        .where(
+            F.col("h_prior").isNull()
+            | F.col("h_new").isNull()
+            | (F.col("h_prior") != F.col("h_new"))
+        )
+    )
+    # fresh flags ONLY for churned new-side docs (added + modified)
+    churn_new = new_docs.join(
+        cdc.where(F.col("h_new").isNotNull()).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    new_flags = _funnel_flags(churn_new)
+    # stored flags of churned prior-side docs (deleted + modified) leave
+    churn_prior = manifest.join(
+        cdc.where(F.col("h_prior").isNotNull()).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    delta_cols = ["dn0", "dt0", "dn1", "dt1", "dn2", "dt2"]
+    deltas = (
+        _funnel_contrib(new_flags, 1)
+        .unionByName(_funnel_contrib(churn_prior, -1))
+        .agg(*[F.coalesce(F.sum(c), F.lit(0)).cast("long").alias(c) for c in delta_cols])
+    )
+    merged = prior_funnel.crossJoin(F.broadcast(deltas))
+    return merged.selectExpr(
+        "stack(3, "
+        "CAST(0 AS BIGINT), 'ingest', CAST(n0 + dn0 AS BIGINT), CAST(t0 + dt0 AS BIGINT), "
+        "CAST(1 AS BIGINT), 'quality_rules', CAST(n1 + dn1 AS BIGINT), CAST(t1 + dt1 AS BIGINT), "
+        "CAST(2 AS BIGINT), 'repetition', CAST(n2 + dn2 AS BIGINT), CAST(t2 + dt2 AS BIGINT)"
+        ") AS (stage_ord, stage, n_kept, tokens_kept)"
+    )
+
+
+def _sql_corpus_funnel_delta(sf: str) -> str:
+    """Full recompute over the new snapshot — ground truth the delta
+    algebra must exactly reconcile with."""
+    ensure_snap_corpus(sf)
+    return f"""
+WITH f AS (
+  SELECT len(string_split(text, ' '))::BIGINT AS tok,
+         len(string_split(text, ' ')) BETWEEN {FUNNEL_TOK_MIN} AND {FUNNEL_TOK_MAX} AS f1,
+         len(list_distinct(string_split(text, ' '))) * 100
+           >= len(string_split(text, ' ')) * {FUNNEL_UNIQ_PCT} AS f2
+  FROM read_parquet('{snap_path(sf)}') WHERE snap = 'new'
+), s AS (
+  SELECT count(*)::BIGINT AS n0, sum(tok)::BIGINT AS t0,
+         sum(CASE WHEN f1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+         COALESCE(sum(CASE WHEN f1 THEN tok END), 0)::BIGINT AS t1,
+         sum(CASE WHEN f1 AND f2 THEN 1 ELSE 0 END)::BIGINT AS n2,
+         COALESCE(sum(CASE WHEN f1 AND f2 THEN tok END), 0)::BIGINT AS t2
+  FROM f
+)
+SELECT 0::BIGINT AS stage_ord, 'ingest' AS stage, n0 AS n_kept, t0 AS tokens_kept FROM s
+UNION ALL
+SELECT 1::BIGINT, 'quality_rules', n1, t1 FROM s
+UNION ALL
+SELECT 2::BIGINT, 'repetition', n2, t2 FROM s
+"""
+
+
 SNAPSHOT_QUERIES = {
     "bloom_dedup": (q_bloom_dedup, _sql_bloom_dedup),
     "snapshot_diff": (q_snapshot_diff, _sql_snapshot_diff),
     "ivm_source_counts": (q_ivm_source_counts, _sql_ivm_source_counts),
     "scd2_merge": (q_scd2_merge, _sql_scd2_merge),
     "psi_drift": (q_psi_drift, _sql_psi_drift),
+    "corpus_funnel_delta": (q_corpus_funnel_delta, _sql_corpus_funnel_delta),
 }

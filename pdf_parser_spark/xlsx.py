@@ -30,7 +30,7 @@ from __future__ import annotations
 import re
 import zipfile
 from xml.etree import ElementTree
-from xml.sax.saxutils import escape
+from xml.sax.saxutils import escape, quoteattr
 
 import pandas as pd
 
@@ -90,7 +90,7 @@ def write_workbook(path: str, sheets: dict[str, pd.DataFrame]) -> None:
         if not name or len(name) > 31 or re.search(r"[\\/?*\[\]:]", name):
             raise ValueError(f"illegal sheet name: {name!r}")
     sheet_entries = "".join(
-        f'<sheet name="{escape(name)}" sheetId="{i}" r:id="rId{i}"/>'
+        f'<sheet name={quoteattr(name)} sheetId="{i}" r:id="rId{i}"/>'
         for i, name in enumerate(sheets, start=1)
     )
     workbook = (

@@ -33,7 +33,10 @@ def test_every_query_has_oracle_and_green_supplement_row():
         f"entry; diff: {sorted((set(qs) - ROWS_ONLY) ^ set(oracles))}"
     )
 
-    with open(os.path.join(REPO, "CORRECTNESS_SUPPLEMENT_r04.json")) as f:
+    import glob
+
+    latest = max(glob.glob(os.path.join(REPO, "CORRECTNESS_SUPPLEMENT_r*.json")))
+    with open(latest) as f:
         sup = json.load(f)
     missing = sorted(set(qs) - set(sup))
     assert not missing, f"queries with no supplement evidence row: {missing}"

@@ -108,3 +108,24 @@ def test_kmeans_float_production_path_agrees(spark):
     assert sorted(prod.index) == sorted(exact.index)
     agree = (prod["cluster"].sort_index() == exact["cluster"].sort_index()).mean()
     assert agree >= 0.99, f"float/exact assignment agreement {agree:.4f} < 0.99"
+
+
+def test_kmeans_float_agreement_query(spark):
+    """The driver-visible agreement record (VERDICT r04 task 3) must
+    hash-match its DuckDB oracle (engine-independent exact-vs-float
+    comparison) and must actually certify the >=99% bound."""
+    fn, sql = ANALYTIC_QUERIES["kmeans_float_agreement"]
+    got = fn(spark, SF_DIR).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SF_DIR}/embeddings.parquet'"
+    )
+    want = con.execute(sql).fetchdf()
+    pd.testing.assert_frame_equal(
+        got.astype(str).reset_index(drop=True),
+        want.astype(str).reset_index(drop=True),
+    )
+    row = got.iloc[0]
+    assert row["agreement_ok"]
+    assert row["n_agree"] * 100 >= row["n_total"] * 99
+    assert row["n_total"] > 0

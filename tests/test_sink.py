@@ -102,3 +102,90 @@ def test_v2_branch_uses_overwrite_partitions(spark, monkeypatch, tmp_path):
     kinds = [k for k, _ in calls]
     assert kinds == ["overwritePartitions", "create", "append"]
     assert all(i.startswith("iceberg.prod.") for _, i in calls)
+
+
+@pytest.fixture
+def simple_catalog(spark, monkeypatch, tmp_path):
+    """Catalog mode with cleanup for ad-hoc table names used by the
+    schema/partition-spec probes."""
+    root = str(tmp_path / "job")
+    monkeypatch.setenv("SPARK_GRAFT_ICEBERG_NS", "spark_catalog.default")
+    yield root
+    for name in ("evo_t", "evo_t2", "evo_t3"):
+        spark.sql(f"DROP TABLE IF EXISTS {sink.table_ident(root, name)}")
+
+
+def test_session_catalog_insert_aligns_reordered_columns(spark, simple_catalog):
+    """V1 insertInto matches positionally (partition columns last), so a
+    caller whose select order drifts from the table's must be realigned
+    by NAME before the write — values must land in the right columns
+    (ADVICE r04: silent column-swap hazard)."""
+    root = simple_catalog
+    df = spark.createDataFrame(
+        [("a", 10, 0), ("b", 20, 1)], "doc_id string, n long, bucket int"
+    )
+    sink.write_partitioned(df, root, "evo_t", "bucket")
+    # same logical rows, reordered select (bucket first, metric before id)
+    df2 = spark.createDataFrame(
+        [(2, 30, "c")], "bucket int, n long, doc_id string"
+    )
+    sink.append(df2, root, "evo_t")
+    got = {
+        r["doc_id"]: (r["n"], r["bucket"])
+        for r in sink.read(spark, root, "evo_t").collect()
+    }
+    assert got == {"a": (10, 0), "b": (20, 1), "c": (30, 2)}
+    # dynamic overwrite with reordered columns must also land correctly
+    df3 = spark.createDataFrame(
+        [(0, 99, "a2")], "bucket int, n long, doc_id string"
+    )
+    sink.write_partitioned(df3, root, "evo_t", "bucket")
+    got = {
+        r["doc_id"]: (r["n"], r["bucket"])
+        for r in sink.read(spark, root, "evo_t").collect()
+    }
+    assert got == {"a2": (99, 0), "b": (20, 1), "c": (30, 2)}
+
+
+def test_session_catalog_insert_schema_mismatch_raises(spark, simple_catalog):
+    """A renamed column (schema drift between job versions) must fail
+    loudly, never write values under the wrong name positionally."""
+    root = simple_catalog
+    df = spark.createDataFrame([("a", 1, 0)], "doc_id string, n long, bucket int")
+    sink.write_partitioned(df, root, "evo_t2", "bucket")
+    renamed = spark.createDataFrame(
+        [("b", 2, 1)], "doc_id string, n_rows long, bucket int"
+    )
+    with pytest.raises(ValueError, match="schema mismatch"):
+        sink.append(renamed, root, "evo_t2")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        sink.write_partitioned(renamed, root, "evo_t2", "bucket")
+
+
+def test_partition_spec_evolution_is_detected(spark, simple_catalog):
+    """Partition-spec evolution probe (r04 verdict task 6): if the target
+    table's spec evolved (an added partition column the writer does not
+    produce), the seam must detect the divergence and refuse — the
+    weakest assumption of the V2 branch (stable partition spec) fails
+    LOUDLY on the session catalog rather than silently writing into a
+    stale spec. A writer that also evolved (supplies the new column)
+    writes cleanly."""
+    root = simple_catalog
+    ident = sink.table_ident(root, "evo_t3")
+    spark.sql(
+        f"CREATE TABLE {ident} (doc_id string, n long) "
+        "USING parquet PARTITIONED BY (bucket int, shard int)"
+    )
+    old_writer = spark.createDataFrame(
+        [("a", 1, 0)], "doc_id string, n long, bucket int"
+    )
+    with pytest.raises(ValueError, match="schema mismatch"):
+        sink.write_partitioned(old_writer, root, "evo_t3", "bucket")
+    evolved = spark.createDataFrame(
+        [("a", 1, 0, 7)], "doc_id string, n long, bucket int, shard int"
+    )
+    sink.write_partitioned(evolved, root, "evo_t3", "bucket")
+    rows = sink.read(spark, root, "evo_t3").collect()
+    assert [(r["doc_id"], r["n"], r["bucket"], r["shard"]) for r in rows] == [
+        ("a", 1, 0, 7)
+    ]

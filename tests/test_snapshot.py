@@ -207,3 +207,48 @@ def test_psi_drift_semantics(spark):
     for b in got.index:
         assert got.loc[b, "n_prior"] == want.loc[b].get("prior", 0)
         assert got.loc[b, "n_new"] == want.loc[b].get("new", 0)
+
+
+def test_corpus_funnel_delta_reconciles(spark):
+    """The IVM-maintained funnel manifest must hash-equal the full
+    recompute over the new snapshot (the oracle), the fixture must bind
+    every CDC branch (added/deleted/modified AND unchanged docs), and
+    both stage rules must actually drop documents."""
+    fn, sql = sn.SNAPSHOT_QUERIES["corpus_funnel_delta"]
+    _assert_equal(fn(spark, SF_DIR), duckdb.sql(sql(sf_of(SF_DIR))).df())
+    # branch coverage: the delta path is only exercised meaningfully if
+    # churn AND unchanged docs both exist in the fixture
+    diff_fn, _ = sn.SNAPSHOT_QUERIES["snapshot_diff"]
+    statuses = set(
+        r["status"] for r in diff_fn(spark, SF_DIR).toPandas().to_dict("records")
+    )
+    assert statuses == {"added", "deleted", "modified", "unchanged"}
+    out = fn(spark, SF_DIR).toPandas().set_index("stage_ord")
+    assert out.loc[0, "n_kept"] > out.loc[1, "n_kept"] > out.loc[2, "n_kept"]
+
+
+def test_corpus_funnel_delta_zero_churn_identity(spark, tmp_path):
+    """With an identical prior/new snapshot the delta stream is empty and
+    the maintained manifest must equal the stored prior funnel exactly
+    (the coalesce-on-empty-aggregate branch)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = sn.gen_snapshots(40)
+    prior = [r for r in rows if r["snap"] == "prior"]
+    dup = [dict(r, snap="new") for r in prior]
+    tbl = pa.Table.from_pylist(prior + dup)
+    path = tmp_path / f"snapdocs_{sn.SNAP_VER}_sf0.001.parquet"
+    pq.write_table(tbl, str(path))
+    import unittest.mock as mock
+
+    with mock.patch.object(sn, "snap_path", lambda sf: str(path)), mock.patch.object(
+        sn, "ensure_snap_corpus", lambda sf: None
+    ):
+        out = (
+            sn.SNAPSHOT_QUERIES["corpus_funnel_delta"][0](spark, SF_DIR)
+            .toPandas()
+            .set_index("stage_ord")
+        )
+    assert out.loc[0, "n_kept"] == 40
+    assert (out["n_kept"] > 0).all()

@@ -78,3 +78,15 @@ def test_row_guard_refuses_oversized_export(spark, tmp_path):
     big = spark.range(0, 50)
     with pytest.raises(ValueError, match="refused"):
         xlsx._guarded_pandas(big, max_rows=10)
+
+
+def test_sheet_name_with_double_quote_roundtrips(tmp_path):
+    """Excel allows " in sheet names; the name attribute must be
+    attribute-escaped (quoteattr) or the workbook.xml is malformed
+    (ADVICE r04 — previously reproduced as a read_workbook ParseError)."""
+    path = str(tmp_path / "q.xlsx")
+    df = pd.DataFrame({"a": [1, 2]})
+    xlsx.write_workbook(path, {'He said "hi" & <left>': df})
+    back = xlsx.read_workbook(path)
+    assert list(back) == ['He said "hi" & <left>']
+    assert back['He said "hi" & <left>']["a"].tolist() == [1, 2]
