@@ -3083,4 +3083,11 @@ DATAPIPE_QUERIES = {
 # would double-count the expensive stage (near_dup_keep re-runs the whole
 # LSH edge build that near_dup_components already times). bench.py skips
 # these and says so — an explicit list, not a silent cap.
-BENCH_DERIVED = {"near_dup_keep", "leakage_safe_split"}
+BENCH_DERIVED = {
+    "near_dup_keep",
+    "leakage_safe_split",
+    # re-runs BOTH kmeans twins end-to-end purely to compare their
+    # assignments (a correctness-harness record, never a production
+    # stage) — timing it would double-count the two already-benched paths
+    "kmeans_float_agreement",
+}
